@@ -1,0 +1,374 @@
+"""CDC batch apply: change events -> LWW dedup -> MERGE (COW) -> snapshot commit.
+
+The Spark rendition of the reference's keyed-upsert pipeline
+(/root/reference/src/how_long_to_beat.py:236-244 replace-by-key+insert,
+/root/reference/src/internet_games_database.py:294-302 per-cell
+null-preserving update, :351-358 insert-only-new), re-expressed as one
+declarative merge over an icelet table.
+
+Merge modes
+-----------
+- ``overwrite`` (default, the north-star path): the batch LWW winner row
+  wholly replaces the target row when its (warc_ts, lsn) version is >= the
+  target's; ``op='D'`` deletes; stale replayed events lose to the target's
+  newer version (idempotent at the row level, on top of batch-id markers).
+- ``coalesce``: reference M2 parity (``pandas.DataFrame.update`` —
+  per-cell overwrite only where the source cell is non-null,
+  /root/reference/src/internet_games_database.py:298). Within a batch,
+  partial updates are folded per column (last non-null value at/after the
+  last I/D reset); against the target, columns coalesce unless the batch
+  contained a reset for that key.
+
+Scale notes (100 TB design)
+---------------------------
+- The target side of the merge is pruned to the buckets the batch touches
+  (manifest bucket ids + key bounds) — merge cost is O(touched data), not
+  O(table).
+- LWW dedup uses partial-aggregable ``max_by`` (map-side combine), so hot
+  urls reduce before the shuffle; a ``salted`` two-phase strategy is
+  available for pathological keys (see operators/lww.py).
+- Everything is DataFrame-API; the only Python execution is the
+  Arrow-vectorized html->text extractor (functions/extract.py).
+- Exactly 3 small actions per batch (per-segment stats, per-bucket winner
+  stats, the write) — no collect() of data rows.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.extract import EXTRACTOR_VERSION, extract_text_udf
+from ..lake.table import BUCKET_COL, DELETED_COL, IceletTable, bucket_expr
+from ..operators.lww import lww_dedup
+
+META_COLS = ("op", "batch_id")
+OP_COL = "op"
+
+
+@dataclass
+class ApplyResult:
+    skipped: bool
+    snapshot_version: int
+    metrics: dict = field(default_factory=dict)
+    per_segment: list[dict] = field(default_factory=list)
+
+
+def apply_batch(
+    table: IceletTable,
+    batch: DataFrame,
+    mode: str = "overwrite",
+    dedup_strategy: str = "agg",
+    rename_hints: dict[str, str] | None = None,
+    lateness_s: int | None = None,
+    default_batch_id: int | None = None,
+) -> ApplyResult:
+    """Apply one micro-batch of change events to the table. Idempotent:
+    segments whose ``batch_id`` is already in the snapshot's commit markers
+    are filtered out; an entirely-replayed batch is a no-op."""
+    t0 = time.monotonic()
+    spark = table.spark
+    snap = table.snapshot()
+    key = snap.properties["key"]
+    order_cols = tuple(snap.properties["version_cols"])
+    applied = set(snap.applied_batch_ids)
+    wm_us = snap.properties.get("watermark_us")  # event-time watermark, epoch micros
+
+    if "batch_id" not in batch.columns:
+        if default_batch_id is None:
+            raise ValueError("batch needs a batch_id column or default_batch_id")
+        batch = batch.withColumn("batch_id", F.lit(default_batch_id).cast("bigint"))
+
+    ts_col, lsn_col = order_cols
+    late_pred = (
+        (F.col(ts_col) < F.timestamp_micros(F.lit(int(wm_us))))
+        if (lateness_s is not None and wm_us is not None)
+        else F.lit(False)
+    )
+
+    # ---- action 1: per-segment (per WAL partition) offset + late stats
+    seg_stats = (
+        batch.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_in"),
+            F.min(lsn_col).alias("lsn_min"),
+            F.max(lsn_col).alias("lsn_max"),
+            F.max(ts_col).alias("ts_max"),
+            F.sum(late_pred.cast("long")).alias("late_dropped"),
+        )
+        .collect()
+    )
+    seg_stats = sorted((r.asDict() for r in seg_stats), key=lambda d: d["batch_id"])
+    new_ids = [d["batch_id"] for d in seg_stats if d["batch_id"] not in applied]
+    if not new_ids:
+        return ApplyResult(True, snap.version, {"reason": "all batch_ids already applied"})
+    replayed = [d["batch_id"] for d in seg_stats if d["batch_id"] in applied]
+    seg_stats = [d for d in seg_stats if d["batch_id"] in set(new_ids)]
+    if replayed:
+        batch = batch.where(~F.col("batch_id").isin(replayed))
+    if lateness_s is not None and wm_us is not None:
+        batch = batch.where(~late_pred)
+
+    events_in = sum(d["events_in"] for d in seg_stats)
+    late_dropped = sum(d["late_dropped"] or 0 for d in seg_stats)
+    max_ts = max((d["ts_max"] for d in seg_stats if d["ts_max"] is not None), default=None)
+
+    # ---- schema evolution resolved at apply time (add / rename / widen)
+    payload_struct = batch.drop(*[c for c in META_COLS if c in batch.columns]).schema
+    evo = table.resolve_schema(payload_struct, rename_hints)
+    cur = evo.schema
+    rev = {v: k for k, v in evo.batch_to_current.items()}  # current -> batch name
+    computed = _computed_cols(cur.names())
+    payload_fields = [
+        f for f in cur.fields if f.name not in computed and f.name != DELETED_COL
+    ]
+    sel = [F.col(OP_COL)]
+    for f in payload_fields:
+        src = rev.get(f.name)
+        sel.append(
+            (F.col(src) if src is not None else F.lit(None)).cast(f.type).alias(f.name)
+        )
+    normalized = batch.select(*sel)
+
+    # ---- per-batch LWW dedup (conflicts resolved deterministically)
+    if mode == "coalesce":
+        winners = _fold_partial_updates(normalized, key, order_cols)
+    else:
+        winners = lww_dedup(normalized, key, order_cols, strategy=dedup_strategy)
+    winners = winners.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets)).persist()
+
+    # ---- action 2: touched buckets + winner/delete counts in one pass
+    bstats = (
+        winners.groupBy(BUCKET_COL)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col(OP_COL) == "D").cast("long")).alias("n_del"),
+        )
+        .collect()
+    )
+    touched = sorted(r[BUCKET_COL] for r in bstats)
+    n_winners = sum(r["n"] for r in bstats)
+    n_deletes = sum(r["n_del"] for r in bstats)
+
+    if not touched:  # nothing survived late-drop: commit markers only
+        new_snap = table.commit([], set(), new_ids, cur if evo.changed else None,
+                                _wm_update(wm_us, max_ts, lateness_s))
+        winners.unpersist()
+        metrics = _metrics(events_in, late_dropped, n_winners, n_deletes, 0, new_snap)
+        _append_lineage(table.root, seg_stats, metrics, new_snap.version)
+        return ApplyResult(False, new_snap.version, metrics, seg_stats)
+
+    # ---- MERGE as a single full-outer join against the pruned target
+    # (tombstones included: a stale replayed event must lose to a newer D)
+    target = table.read(buckets=touched, include_deleted=True)
+    out = _merge(target, winners, key, order_cols, cur, computed, mode)
+    out = out.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
+
+    # ---- action 3: write per-bucket files; commit snapshot atomically
+    files = table.write_data_files(out, snap.version + 1, cur.version)
+    new_snap = table.commit(
+        files, set(touched), new_ids,
+        cur if evo.changed else None,
+        _wm_update(wm_us, max_ts, lateness_s),
+    )
+    winners.unpersist()
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    metrics = _metrics(events_in, late_dropped, n_winners, n_deletes, len(touched), new_snap)
+    metrics["wall_ms"] = wall_ms
+    metrics["schema_changed"] = evo.changed
+    _append_lineage(table.root, seg_stats, metrics, new_snap.version)
+    return ApplyResult(False, new_snap.version, metrics, seg_stats)
+
+
+# --------------------------------------------------------------------- merge
+def _merge(
+    target: DataFrame,
+    winners: DataFrame,
+    key: str,
+    order_cols: tuple[str, ...],
+    cur,
+    computed: dict[str, str],
+    mode: str,
+) -> DataFrame:
+    """Full-outer merge: new target rows for the touched buckets.
+
+    take_src  <=>  a batch winner exists and its version >= target version
+    (stale replays lose; reference precursor: newest-extract-wins,
+    /root/reference/src/how_long_to_beat.py:287-296).
+    """
+    tcols = [f.name for f in cur.fields]
+    t = target.select([F.col(c).alias(f"t_{c}") for c in tcols])
+    s_payload = [c for c in winners.columns if c not in (BUCKET_COL,)]
+    s = winners.select([F.col(c).alias(f"s_{c}") for c in s_payload])
+    j = t.join(s, F.col(f"t_{key}") == F.col(f"s_{key}"), "full_outer")
+
+    s_ver = F.struct(*[F.col(f"s_{c}") for c in order_cols])
+    t_ver = F.struct(*[F.col(f"t_{c}") for c in order_cols])
+    has_t = F.col(f"t_{key}").isNotNull()
+    has_s = F.col(f"s_{key}").isNotNull()
+    take_src = has_s & (~has_t | (s_ver >= t_ver))
+    src_is_delete = take_src & (F.col(f"s_{OP_COL}") == "D")
+
+    reset = F.col("s__has_reset") if mode == "coalesce" else F.lit(True)
+    merged_val: dict[str, F.Column] = {}
+    for f in cur.fields:
+        if f.name in computed or f.name == DELETED_COL:
+            continue
+        sv, tv = F.col(f"s_{f.name}"), F.col(f"t_{f.name}")
+        src_val = sv if mode != "coalesce" else F.when(reset, sv).otherwise(F.coalesce(sv, tv))
+        if f.name in (key, *order_cols):
+            merged_val[f.name] = F.when(take_src, sv).otherwise(tv)
+        else:
+            # deletes become tombstones: payload nulled, key+version kept
+            merged_val[f.name] = F.when(src_is_delete, F.lit(None).cast(f.type)).otherwise(
+                F.when(take_src, src_val).otherwise(tv)
+            )
+
+    # engine-computed columns (text extracted from html): run the Arrow UDF
+    # only for rows the batch changed; carried-forward rows keep their
+    # stored value (extractor is pure, so replays stay byte-identical).
+    for cname, src_col in computed.items():
+        merged_val[cname] = F.when(src_is_delete, F.lit(None).cast("string")).otherwise(
+            F.when(take_src, extract_text_udf(merged_val[src_col])).otherwise(
+                F.col(f"t_{cname}")
+            )
+        )
+
+    if DELETED_COL in [f.name for f in cur.fields]:
+        merged_val[DELETED_COL] = F.when(take_src, F.col(f"s_{OP_COL}") == "D").otherwise(
+            F.coalesce(F.col(f"t_{DELETED_COL}"), F.lit(False))
+        )
+
+    cols = [merged_val[f.name].alias(f.name) for f in cur.fields]
+    return j.select(*cols)
+
+
+def _computed_cols(names: list[str]) -> dict[str, str]:
+    """Engine-computed columns: text is extracted from html when both exist."""
+    return {"text": "html"} if ("text" in names and "html" in names) else {}
+
+
+# --------------------------------------------------- coalesce-mode batch fold
+def _fold_partial_updates(
+    normalized: DataFrame, key: str, order_cols: tuple[str, ...]
+) -> DataFrame:
+    """Fold a batch of partial updates per key (reference M2 semantics).
+
+    For every payload column: the last non-null value among events at or
+    after the key's last reset (I or D). Emits the final op, final version
+    and a ``_has_reset`` flag (a reset row must NOT coalesce against the
+    pre-batch target value). Pure hash aggregation — skew-resistant.
+    """
+    ts_col, lsn_col = order_cols
+    ver = F.struct(F.col(ts_col).alias("v1"), F.col(lsn_col).alias("v2"))
+    resets = (
+        normalized.where(F.col(OP_COL).isin("I", "D"))
+        .groupBy(key)
+        .agg(F.max(ver).alias("_reset_ver"))
+    )
+    b = normalized.join(resets, key, "left")
+    after_reset = F.col("_reset_ver").isNull() | (ver >= F.col("_reset_ver"))
+    payload = [c for c in normalized.columns if c not in (OP_COL, key, *order_cols)]
+
+    aggs = [
+        F.max(ver).alias("_last_ver"),
+        F.max(F.struct(ver.alias("v"), F.col(OP_COL).alias("x"))).alias("_op_s"),
+        F.max(F.col("_reset_ver")).alias("_rv"),
+    ]
+    for c in payload:
+        cond = (F.col(OP_COL) != "D") & after_reset & F.col(c).isNotNull()
+        aggs.append(F.max(F.when(cond, F.struct(ver.alias("v"), F.col(c).alias("x")))).alias(f"_f_{c}"))
+    g = b.groupBy(key).agg(*aggs)
+
+    sel = [
+        F.col(key),
+        F.col("_op_s.x").alias(OP_COL),
+        F.col(f"_last_ver.v1").alias(ts_col),
+        F.col(f"_last_ver.v2").alias(lsn_col),
+        F.col("_rv").isNotNull().alias("_has_reset"),
+    ]
+    for c in payload:
+        sel.append(F.col(f"_f_{c}.x").alias(c))
+    return g.select(*sel)
+
+
+# ------------------------------------------------------------------- lineage
+def _wm_update(wm_us: int | None, max_ts, lateness_s: int | None) -> dict:
+    if lateness_s is None or max_ts is None:
+        return {}
+    new_wm = int(max_ts.timestamp() * 1_000_000) - lateness_s * 1_000_000
+    if wm_us is not None:
+        new_wm = max(int(wm_us), new_wm)
+    return {"watermark_us": new_wm}
+
+
+def _metrics(events_in, late_dropped, n_winners, n_deletes, n_buckets_touched, snap) -> dict:
+    return {
+        "events_in": int(events_in),
+        "late_dropped": int(late_dropped),
+        "winners": int(n_winners),
+        "conflicts_resolved": int(events_in - late_dropped - n_winners),
+        "delete_winners": int(n_deletes),
+        "buckets_touched": int(n_buckets_touched),
+        "rows_after": int(snap.total_rows()),
+        "snapshot_version": int(snap.version),
+        "extractor_version": EXTRACTOR_VERSION,
+    }
+
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("snapshot_version", pa.int64()),
+        ("batch_id", pa.int64()),
+        ("events_in", pa.int64()),
+        ("late_dropped", pa.int64()),
+        ("lsn_min", pa.int64()),
+        ("lsn_max", pa.int64()),
+        ("winners", pa.int64()),
+        ("conflicts_resolved", pa.int64()),
+        ("delete_winners", pa.int64()),
+        ("buckets_touched", pa.int64()),
+        ("rows_after", pa.int64()),
+        ("wall_ms", pa.int64()),
+        ("extractor_version", pa.int64()),
+    ]
+)
+
+
+def _append_lineage(root: str, seg_stats: list[dict], metrics: dict, version: int) -> None:
+    """Per-batch, per-WAL-partition lineage rows (offsets + counts) —
+    the engine's rendition of the reference's match-quality reports
+    (/root/reference/src/how_long_to_beat.py:401-558)."""
+    ldir = os.path.join(root, "lineage")
+    os.makedirs(ldir, exist_ok=True)
+    rows = []
+    for d in seg_stats:
+        rows.append(
+            {
+                "snapshot_version": version,
+                "batch_id": int(d["batch_id"]),
+                "events_in": int(d["events_in"]),
+                "late_dropped": int(d["late_dropped"] or 0),
+                "lsn_min": int(d["lsn_min"]) if d["lsn_min"] is not None else None,
+                "lsn_max": int(d["lsn_max"]) if d["lsn_max"] is not None else None,
+                "winners": metrics.get("winners"),
+                "conflicts_resolved": metrics.get("conflicts_resolved"),
+                "delete_winners": metrics.get("delete_winners"),
+                "buckets_touched": metrics.get("buckets_touched"),
+                "rows_after": metrics.get("rows_after"),
+                "wall_ms": metrics.get("wall_ms", 0),
+                "extractor_version": EXTRACTOR_VERSION,
+            }
+        )
+    tbl = pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
+    pq.write_table(tbl, os.path.join(ldir, f"lineage-v{version:08d}.parquet"))
+
+
+def read_lineage(spark, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "lineage"))

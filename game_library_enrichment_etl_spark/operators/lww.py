@@ -1,0 +1,85 @@
+"""Last-writer-wins per-key dedup — the per-batch CDC dedup core.
+
+Semantics: for each key keep exactly the row with the maximum
+(warc_ts, lsn) — the Spark rendition of the reference's deterministic
+per-group winner selection (/root/reference/src/how_long_to_beat.py:299-339)
+and "latest timestamped extract wins" (:287-296).
+
+Three physically distinct but semantically identical strategies:
+
+- ``agg`` (default): ``groupBy(key).agg(max_by(struct(*), order))``.
+  Hash aggregation does map-side partial aggregation, so a hot key is
+  reduced per input partition before the shuffle — skew-resistant by
+  construction and the scale default.
+- ``window``: ``row_number() over (partition by key order by ts desc,
+  lsn desc) = 1`` — the canonical formulation (north_star wording); all
+  rows of a key shuffle to one partition, so it is skew-SENSITIVE and
+  kept for parity testing / small batches.
+- ``salted``: explicit two-phase reduce — phase 1 groups by
+  (key, salt=pmod(lsn, S)) and reduces, phase 2 re-reduces per key.
+  Exact because max over a total order is associative + commutative
+  (SURVEY.md §4 custom-2); demonstrates hot-key splitting when the
+  aggregate is NOT partially-aggregated by the engine (e.g. after a
+  window) or when a single grouping key exceeds one task's memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+STRATEGIES = ("agg", "window", "salted")
+
+
+def lww_dedup(
+    df: DataFrame,
+    key: str = "url",
+    order_cols: tuple[str, ...] = ("warc_ts", "lsn"),
+    strategy: str = "agg",
+    n_salts: int = 16,
+) -> DataFrame:
+    """One row per ``key``: the max-(order_cols) row. Column set preserved."""
+    if strategy == "agg":
+        return _lww_agg(df, key, order_cols)
+    if strategy == "window":
+        return _lww_window(df, key, order_cols)
+    if strategy == "salted":
+        return _lww_salted(df, key, order_cols, n_salts)
+    raise ValueError(f"unknown strategy {strategy!r}; want one of {STRATEGIES}")
+
+
+def _ver(order_cols: tuple[str, ...]):
+    return F.struct(*[F.col(c) for c in order_cols])
+
+
+def _lww_agg(df: DataFrame, key: str, order_cols: tuple[str, ...]) -> DataFrame:
+    cols = df.columns
+    winner = df.groupBy(key).agg(
+        F.max_by(F.struct(*[F.col(c) for c in cols]), _ver(order_cols)).alias("_w")
+    )
+    return winner.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
+
+
+def _lww_window(df: DataFrame, key: str, order_cols: tuple[str, ...]) -> DataFrame:
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _lww_salted(
+    df: DataFrame, key: str, order_cols: tuple[str, ...], n_salts: int
+) -> DataFrame:
+    cols = df.columns
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salts))
+    )
+    phase1 = salted.groupBy(key, "_salt").agg(
+        F.max_by(F.struct(*[F.col(c) for c in cols]), _ver(order_cols)).alias("_w")
+    )
+    phase2 = phase1.groupBy(key).agg(
+        F.max_by(F.col("_w"), F.struct(*[F.col(f"_w.{c}") for c in order_cols])).alias("_w")
+    )
+    return phase2.select(*[F.col(f"_w.{c}").alias(c) for c in cols])

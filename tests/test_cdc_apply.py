@@ -1,0 +1,161 @@
+"""End-to-end CDC apply tests: replay equivalence, idempotence, tombstones,
+time travel, LWW strategy equivalence, extractor determinism."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from game_library_enrichment_etl_spark.cdc.apply import apply_batch, read_lineage
+from game_library_enrichment_etl_spark.cdc.tables import create_pages_table
+from game_library_enrichment_etl_spark.datagen import gen_change_events, write_change_segments
+from game_library_enrichment_etl_spark.functions.extract import (
+    extract_text_one,
+    extract_text_series,
+)
+from game_library_enrichment_etl_spark.operators.lww import lww_dedup
+
+from model_oracle import model_final_state
+
+N_EVENTS, N_URLS, N_SEG = 3000, 300, 5
+
+
+@pytest.fixture(scope="module")
+def stream(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    ev = gen_change_events(N_EVENTS, N_URLS, seed=7)
+    paths = write_change_segments(str(d), ev.drop(columns=["title"]), N_SEG)
+    return ev, paths
+
+
+def _read_table_pdf(table):
+    return (
+        table.read()
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def test_replay_equivalence(spark, tmp_path, stream):
+    """Apply segment-by-segment == single-pass model over the whole stream."""
+    ev, paths = stream
+    table = create_pages_table(spark, str(tmp_path / "pages"), n_buckets=8)
+    for i, p in enumerate(paths):
+        res = apply_batch(table, spark.read.parquet(p))
+        assert not res.skipped
+        assert res.metrics["events_in"] > 0
+
+    got = _read_table_pdf(table)
+    want = model_final_state(ev)
+    assert len(got) == len(want)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["lsn"]) == list(want["lsn"])
+    # byte-identical extracted text per url (north-star invariant)
+    assert list(got["text"]) == list(want["text"])
+    assert [bytes(b) if b is not None else None for b in got["html"]] == list(want["html"])
+
+
+def test_idempotent_reapply_and_lineage(spark, tmp_path, stream):
+    ev, paths = stream
+    table = create_pages_table(spark, str(tmp_path / "pages2"), n_buckets=8)
+    for p in paths:
+        apply_batch(table, spark.read.parquet(p))
+    before = _read_table_pdf(table)
+    v_before = table.snapshot().version
+
+    # replaying every segment is a no-op (idempotent batch-id markers)
+    for p in paths:
+        res = apply_batch(table, spark.read.parquet(p))
+        assert res.skipped
+    assert table.snapshot().version == v_before
+    after = _read_table_pdf(table)
+    pd.testing.assert_frame_equal(before, after)
+
+    lin = read_lineage(spark, table.root).toPandas()
+    assert len(lin) == len(paths)
+    assert lin["events_in"].sum() == N_EVENTS
+    assert (lin["lsn_max"] >= lin["lsn_min"]).all()
+
+
+def test_out_of_order_cross_batch_delete(spark, tmp_path):
+    """A stale event arriving after a newer delete must not resurrect the row
+    (tombstone semantics)."""
+    ts = pd.Timestamp("2024-01-01")
+    b1 = pd.DataFrame(
+        {
+            "op": ["I", "D"],
+            "lsn": [1, 5],
+            "url": ["https://a/x", "https://a/x"],
+            "warc_ts": [ts, ts + pd.Timedelta("50s")],
+            "html": [b"<p>v1</p>", None],
+            "lang": ["en", None],
+            "batch_id": [0, 0],
+        }
+    )
+    # stale update (version between I and D) delivered late, in a later batch
+    b2 = pd.DataFrame(
+        {
+            "op": ["U"],
+            "lsn": [3],
+            "url": ["https://a/x"],
+            "warc_ts": [ts + pd.Timedelta("10s")],
+            "html": [b"<p>v3</p>"],
+            "lang": ["en"],
+            "batch_id": [1],
+        }
+    )
+    table = create_pages_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(table, spark.createDataFrame(b1))
+    apply_batch(table, spark.createDataFrame(b2))
+    assert table.read().count() == 0
+    tomb = table.read(include_deleted=True).toPandas()
+    assert len(tomb) == 1 and bool(tomb["_deleted"][0])
+
+
+def test_time_travel(spark, tmp_path, stream):
+    ev, paths = stream
+    table = create_pages_table(spark, str(tmp_path / "pages3"), n_buckets=8)
+    versions = []
+    for p in paths:
+        res = apply_batch(table, spark.read.parquet(p))
+        versions.append(res.snapshot_version)
+    # snapshot after batch k == model over the first k segments
+    k = 2
+    n_ev = len(ev) * (k + 1) // N_SEG
+    want = model_final_state(ev.iloc[:n_ev])
+    got = (
+        table.read(version=versions[k]).toPandas().sort_values("url").reset_index(drop=True)
+    )
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["lsn"]) == list(want["lsn"])
+
+
+def test_lww_strategies_agree(spark, stream):
+    ev, _ = stream
+    df = spark.createDataFrame(ev.drop(columns=["title"]))
+    outs = {}
+    for s in ("agg", "window", "salted"):
+        outs[s] = (
+            lww_dedup(df, "url", ("warc_ts", "lsn"), strategy=s)
+            .select("url", "lsn")
+            .toPandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["agg"], outs["window"])
+    pd.testing.assert_frame_equal(outs["agg"], outs["salted"])
+
+
+def test_extractor_deterministic_and_correct():
+    html = (
+        b'<html lang="en"><head><title>t</title><style>x{}</style></head>'
+        b"<body><script>var a=1;</script><p>hello &amp; world</p>"
+        b"<p>second  para</p></body></html>"
+    )
+    out = extract_text_one(html)
+    assert out == "t hello & world second para"
+    # batch == scalar, independent of batch composition
+    s = extract_text_series(pd.Series([html, None, html * 2]))
+    assert s[0] == out and s[1] is None
+    assert extract_text_one(html) == out
