@@ -165,8 +165,9 @@ def apply_batch(
         return ApplyResult(False, new_snap.version, metrics, seg_stats)
 
     # ---- MERGE as a single full-outer join against the pruned target
-    # (tombstones included: a stale replayed event must lose to a newer D)
-    target = table.read(buckets=touched, include_deleted=True)
+    # (tombstones included: a stale replayed event must lose to a newer D;
+    # target projected to the evolved schema so merge columns line up)
+    target = table.read(buckets=touched, include_deleted=True, as_schema=cur)
     out = _merge(target, winners, key, order_cols, cur, computed, mode)
     out = out.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
 

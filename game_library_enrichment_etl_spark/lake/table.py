@@ -94,13 +94,17 @@ class IceletTable:
         buckets: list[int] | None = None,
         key_range: tuple[str, str] | None = None,
         include_deleted: bool = False,
+        as_schema: "TableSchema | None" = None,
     ) -> DataFrame:
         """Read the table at a snapshot (time travel), optionally pruned to a
         bucket set and/or key range using manifest stats — no file listing,
         no footer reads for skipped files. Tombstone rows (``_deleted``)
-        are filtered out unless ``include_deleted``."""
+        are filtered out unless ``include_deleted``. ``as_schema`` projects
+        to a not-yet-committed evolved schema (fields matched by id; new
+        fields read as null) — used by the merge when the incoming batch
+        evolves the schema."""
         snap = self.snapshot(version)
-        cur = snap.schema
+        cur = as_schema if as_schema is not None else snap.schema
         files = snap.files
         if buckets is not None:
             bset = set(buckets)
