@@ -1,0 +1,111 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the CDC engine itself: sustained change-events/sec
+applied through the full LWW-dedup + COW-MERGE + snapshot-commit path
+(BASELINE.json metric), evidenced here by `cdc_apply` wall time plus an
+`events_per_sec` extra. A representative slice of the operator surface is
+timed alongside. Full compute is forced through the noop sink (no driver
+collect, all columns materialized).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_cdc_apply(spark, sf_dir: str, n_segments: int = 8) -> dict:
+    """Derive a change stream from the events table (shape: FIXTURES.md §2),
+    split into segments, run the full apply loop into a fresh icelet table."""
+    import __spark_entry__ as E
+    from game_library_enrichment_etl_spark.cdc.apply import apply_batch
+    from game_library_enrichment_etl_spark.cdc.tables import create_pages_table
+    from pyspark.sql import functions as F
+
+    stream = E._derive_change_stream(spark, sf_dir).withColumn(
+        "batch_id", F.pmod(F.col("lsn"), F.lit(n_segments)).cast("bigint")
+    )
+    n_events = stream.count()
+    root = tempfile.mkdtemp(prefix="icelet_bench_")
+    table = create_pages_table(spark, os.path.join(root, "pages"), n_buckets=32)
+    t0 = time.monotonic()
+    for b in range(n_segments):
+        apply_batch(table, stream.where(F.col("batch_id") == b))
+    dt = time.monotonic() - t0
+    rows = table.snapshot().total_rows()
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": dt, "events": n_events, "events_per_sec": n_events / dt, "rows": rows}
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "lww_latest_event",
+    "best_match_selection",
+    "upsert_merge",
+    "topk_per_group",
+    "fuzzy_blocked_join",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "ngram_jaccard_pairs",
+    "embedding_topk_cosine",
+    "embedding_srp_ann",
+    "lang_id_docs",
+    "quality_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from game_library_enrichment_etl_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus), app_name="bench")
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+
+    # warm the JVM/codegen path once with a trivial job
+    spark.range(1000).count()
+
+    cdc = bench_cdc_apply(spark, sf_dir)
+    times["cdc_apply"] = round(cdc["sec"], 3)
+
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_apply_throughput_plus_operator_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "events_per_sec": round(cdc["events_per_sec"], 1),
+                "cdc_events": cdc["events"],
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk``  — brute-force exact top-k: query x corpus join with a
+  JVM-side dot product (F.aggregate over zip_with — whole-stage codegen,
+  no Python). Baseline and oracle-checkable.
+- ``srp_lsh_topk`` — scale path: signed-random-projection LSH. Each vector
+  gets a B-bit bucket (sign of dot with B deterministic md5-derived
+  hyperplanes); queries probe their bucket (+ optional 1-bit flips),
+  cosine only within bucket. The bucket is the shuffle key -> no cross
+  join at scale.
+
+All arithmetic is double-cast and rounded so the DuckDB oracle matches
+exactly; plane weights are ±1 from the shared md5 hash (reproducible in
+SQL on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return F.round(_dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12)), 6)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "vec_id",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, neighbor_id, cosine, rank).
+    The query side is expected to be small -> broadcast, so the 'cross'
+    join is a broadcast nested loop over corpus partitions (no shuffle of
+    the corpus)."""
+    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"))
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = c.crossJoin(F.broadcast(q)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def srp_bucket(vec: Column, n_bits: int = 8, dim: int = 64) -> Column:
+    """Signed-random-projection bucket id: bit r = sign of dot(vec, plane_r)
+    where plane_r[d] = +1 if the shared md5 hash of 'srp|r|d' is even else
+    -1 (deterministic, engine-independent, precomputed as literals)."""
+    import hashlib
+
+    bits = []
+    for r in range(n_bits):
+        weights = [
+            1
+            if int.from_bytes(hashlib.md5(f"srp|{r}|{d}".encode()).digest()[:8], "big") % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        warr = F.array(*[F.lit(float(wd)) for wd in weights])
+        proj = F.aggregate(
+            F.zip_with(vec, warr, lambda x, wcol: x.cast("double") * wcol),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << r)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def srp_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+    multiprobe_flips: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: cosine only within SRP buckets; queries probe
+    their own bucket plus every bucket at hamming distance <=
+    ``multiprobe_flips`` (recall knob). Bucket id is the equi-join key."""
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        srp_bucket(F.col(vec_col), n_bits, dim).alias("bkt"),
+    )
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        srp_bucket(F.col(vec_col), n_bits, dim).alias("bkt0"),
+    )
+    probes = [F.col("bkt0")]
+    if multiprobe_flips >= 1:
+        probes += [
+            F.col("bkt0").bitwiseXOR(F.lit(1 << r)).cast("int") for r in range(n_bits)
+        ]
+    q = q0.select(
+        "query_id", "qv", F.explode(F.array(*probes)).alias("bkt")
+    )
+    scored = (
+        c.join(q, "bkt")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
