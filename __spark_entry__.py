@@ -597,6 +597,11 @@ def _minhash_lsh_pairs(spark, sf):
 
 
 def _minhash_sql() -> str:
+    from game_library_enrichment_etl_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
     rows = _MH_N // _MH_BANDS
     toks = _sql_tokens("text")
     sh = (
@@ -604,8 +609,8 @@ def _minhash_sql() -> str:
         f"for i in range(1, greatest(len(t.toks) - {_MH_SHINGLE - 1}, 1) + 1)])"
     )
     mh = ", ".join(
-        f"list_min([{_sql_hash(f's || ' + repr('|' + str(i)) )} for s in sh])" + f" AS mh{i}"
-        for i in range(_MH_N)
+        f"list_min([({a} * h + {b}) % {MINHASH_P} for h in hs]) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(_MH_N))
     )
     bands = ", ".join(
         "md5(" + " || ',' || ".join(
@@ -618,8 +623,10 @@ def _minhash_sql() -> str:
 WITH base AS (
   SELECT doc_id AS k, {sh} AS sh
   FROM (SELECT doc_id, text, {toks} AS toks FROM documents) t
+), hashed AS (
+  SELECT k, sh, [({_sql_hash('s')} % 2147483648) for s in sh] AS hs FROM base
 ), sigs AS (
-  SELECT k, sh, {mh} FROM base
+  SELECT k, sh, {mh} FROM hashed
 ), banded AS (
   SELECT k, sh, unnest([{band_unnest}]) AS band
   FROM (SELECT *, {bands} FROM sigs)
@@ -636,9 +643,16 @@ SELECT key_a, key_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
 
 
+def _repart(spark, df):
+    # documents.parquet is a single file -> one scan partition; heavy
+    # per-row expression stages need an explicit fan-out to use all cores
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _simhash_docs(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return docs.select("doc_id", DD.simhash32(F.col("text")).alias("simhash"))
+    docs = _repart(spark, _t(spark, sf, "documents"))
+    hashed = docs.select("doc_id", DD.token_hashes(F.col("text")).alias("ths"))
+    return hashed.select("doc_id", DD.simhash_from_hashes(F.col("ths")).alias("simhash"))
 
 
 def _simhash_sql() -> str:
@@ -656,29 +670,40 @@ FROM (SELECT doc_id, [{h} for tok in {toks}] AS hs FROM documents)
 
 
 def _ngram_jaccard_pairs(spark, sf):
-    return DD.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=4, threshold=0.4)
+    return DD.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=5, threshold=0.7)
 
 
 def _ngram_sql() -> str:
     norm = _sql_norm("text")
+    gh = _sql_hash("s")
     return f"""
-WITH base AS (
+WITH grams AS (
   SELECT doc_id AS k,
-         list_distinct([substr(nt, i, 4)
-                        for i in range(1, greatest(length(nt) - 3, 1) + 1)]) AS g,
-         lang AS blk,
-         floor(log2(greatest(length(nt), 1)))::BIGINT AS lb
-  FROM (SELECT doc_id, lang, {norm} AS nt FROM documents)
-), lhs AS (
-  SELECT k, g, blk, unnest([lb - 1, lb, lb + 1]) AS lb FROM base
+         [{gh} for s in
+          list_distinct([substr(nt, i, 5)
+                         for i in range(1, greatest(length(nt) - 4, 1) + 1)])] AS g
+  FROM (SELECT doc_id, {norm} AS nt FROM documents)
+), eg AS (
+  SELECT k, unnest(g) AS gram FROM grams
+), dfreq AS (
+  SELECT gram, count(*) AS dfc FROM eg GROUP BY gram
+), per_doc AS (
+  SELECT k, list(gram ORDER BY dfc, gram) AS sg, count(*)::INT AS sz
+  FROM eg JOIN dfreq USING (gram) GROUP BY k
+), pe AS (
+  SELECT k, sz, unnest(sg[1 : sz - ceil(0.7 * sz)::INT + 1]) AS gram FROM per_doc
+), cand AS (
+  SELECT DISTINCT a.k AS key_a, b.k AS key_b
+  FROM pe a JOIN pe b USING (gram)
+  WHERE a.k < b.k
+    AND a.sz::DOUBLE >= 0.7 * b.sz AND b.sz::DOUBLE >= 0.7 * a.sz
 )
-SELECT a.k AS key_a, b.k AS key_b,
-       round(len(list_intersect(a.g, b.g))::DOUBLE /
-             greatest(len(list_distinct(a.g || b.g)), 1)::DOUBLE, 6) AS jaccard
-FROM lhs a JOIN base b USING (blk, lb)
-WHERE a.k < b.k
-  AND len(list_intersect(a.g, b.g))::DOUBLE /
-      greatest(len(list_distinct(a.g || b.g)), 1)::DOUBLE >= 0.4
+SELECT c.key_a, c.key_b,
+       round(len(list_intersect(x.g, y.g))::DOUBLE /
+             greatest(len(list_distinct(x.g || y.g)), 1)::DOUBLE, 6) AS jaccard
+FROM cand c JOIN grams x ON x.k = c.key_a JOIN grams y ON y.k = c.key_b
+WHERE len(list_intersect(x.g, y.g))::DOUBLE /
+      greatest(len(list_distinct(x.g || y.g)), 1)::DOUBLE >= 0.7
 """
 
 
@@ -750,7 +775,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 def _lang_id_docs(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _repart(spark, _t(spark, sf, "documents"))
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
 
 
@@ -780,7 +805,7 @@ FROM best WHERE rn = 1
 
 
 def _quality_token_stats(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _repart(spark, _t(spark, sf, "documents"))
     return docs.select(
         "doc_id",
         TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
@@ -828,7 +853,7 @@ FROM documents
 
 
 def _doc_fingerprint(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _repart(spark, _t(spark, sf, "documents"))
     return docs.select(
         "doc_id",
         TX.doc_fingerprint(F.col("text")).alias("fingerprint"),

@@ -35,7 +35,8 @@ def _simple(dt: T.DataType) -> str:
 
 
 def can_widen(src: str, dst: str) -> bool:
-    return src == dst or (src, dst) in _WIDEN_OK
+    # 'void' = all-null column (NullType): castable to any type
+    return src == dst or src == "void" or (src, dst) in _WIDEN_OK
 
 
 @dataclass

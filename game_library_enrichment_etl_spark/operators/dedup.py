@@ -57,16 +57,52 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+MINHASH_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine-hash coefficients < P, derived from md5
+    so the SQL oracle can embed the identical literals."""
+    import hashlib
+
+    out = []
+    for i in range(n_hashes):
+        a = int.from_bytes(hashlib.md5(f"mh_a{i}".encode()).digest()[:8], "big") % (
+            MINHASH_P - 2
+        ) + 1
+        b = int.from_bytes(hashlib.md5(f"mh_b{i}".encode()).digest()[:8], "big") % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(col: Column, n_hashes: int = 12, shingle_n: int = 3) -> Column:
-    """Array of ``n_hashes`` minhashes: min over shingles of
-    hash(shingle || '|' || i). Hash-family-by-suffix keeps every value
-    reproducible in plain SQL (no modular multiply overflow games)."""
+    """Array of ``n_hashes`` minhashes over word shingles.
+
+    One md5 per shingle (base hash reduced to 31 bits), then an affine
+    family h_i = (a_i * h0 + b_i) mod (2^31 - 1): a_i*h0 < 2^62 so every
+    intermediate fits int64 exactly in both Spark and DuckDB — 12x less
+    hashing CPU than an md5-per-(shingle, i) family at identical
+    reproducibility."""
     sh = word_shingles(col, shingle_n)
+    h0s = F.transform(sh, lambda s: F.pmod(token_hash(s), F.lit(2**31)))
+    return minhash_from_hashes(h0s, n_hashes)
+
+
+def shingle_hashes(col: Column, shingle_n: int = 3) -> Column:
+    """31-bit base hashes of the word shingles (the md5-heavy part —
+    materialize this once as its own column; higher-order functions are
+    interpreted, so letting Catalyst inline it N times costs N scans)."""
+    sh = word_shingles(col, shingle_n)
+    return F.transform(sh, lambda s: F.pmod(token_hash(s), F.lit(2**31)))
+
+
+def minhash_from_hashes(h0s: Column, n_hashes: int = 12) -> Column:
+    def _affine(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))
+
     sigs = [
-        F.array_min(
-            F.transform(sh, lambda s: token_hash(F.concat(s, F.lit(f"|{i}"))))
-        ).alias(f"mh{i}")
-        for i in range(n_hashes)
+        F.array_min(F.transform(h0s, _affine(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
     ]
     return F.array(*sigs)
 
@@ -88,12 +124,14 @@ def minhash_lsh_pairs(
     Returns (key_a, key_b, jaccard) with key_a < key_b.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(F.col(text_col), n_hashes, shingle_n)
-    base = df.select(
-        F.col(key).alias("k"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-        sig.alias("sig"),
-    )
+    # parallelize the md5-heavy signature stage even when the input is a
+    # single small parquet file (one scan partition otherwise)
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(F.col(key).alias("k"), F.col(text_col).alias("t")).repartition(nparts, "k")
+    # projection barrier: the md5 hash array is an aliased non-cheap column,
+    # so the 12 affine minima below reuse it instead of re-hashing 12x
+    hashed = src.select("k", shingle_hashes(F.col("t"), shingle_n).alias("hs"))
+    sig = minhash_from_hashes(F.col("hs"), n_hashes)
     band_keys = F.array(
         *[
             F.md5(
@@ -109,24 +147,29 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = base.select("k", "sh", F.explode(band_keys).alias("band"))
+    # SKINNY band join: only (k, band) rows shuffle; the shingle arrays are
+    # fetched by key for surviving candidate pairs only (column pruning
+    # keeps the md5 minhash work out of the fetch branches).
+    banded = hashed.select(F.col("k"), sig.alias("sig")).select(
+        "k", F.explode(band_keys).alias("band")
+    )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), "band")
         .where(F.col("a.k") < F.col("b.k"))
-        .select(
-            F.col("a.k").alias("key_a"),
-            F.col("b.k").alias("key_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
         .dropDuplicates(["key_a", "key_b"])
+    )
+    shingles = src.select("k", word_shingles(F.col("t"), shingle_n).alias("sh"))
+    pairs = (
+        cand.join(shingles.select(F.col("k").alias("key_a"), F.col("sh").alias("sh_a")), "key_a")
+        .join(shingles.select(F.col("k").alias("key_b"), F.col("sh").alias("sh_b")), "key_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        cand.select("key_a", "key_b", F.round(jac, 6).alias("jaccard"))
+        pairs.select("key_a", "key_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= jaccard_threshold)
     )
 
@@ -138,8 +181,15 @@ def simhash32(col: Column) -> Column:
     Stays in 32 bits so every intermediate fits comfortably in int64 in
     both engines; per-token hash is the shared 60-bit md5 hash.
     """
-    th = F.transform(tokens(col), token_hash)
+    return simhash_from_hashes(F.transform(tokens(col), token_hash))
 
+
+def token_hashes(col: Column) -> Column:
+    """60-bit md5 hashes of the whitespace tokens (materialize once)."""
+    return F.transform(tokens(col), token_hash)
+
+
+def simhash_from_hashes(th: Column) -> Column:
     def _vote(j: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
@@ -166,7 +216,13 @@ def simhash_pairs(
     into ``n_chunks`` 8-bit chunks; by pigeonhole any pair within
     ``max_hamming`` <= n_chunks-1 shares at least one exact chunk —
     equi-join on (chunk_idx, chunk_val), then verify true hamming."""
-    base = df.select(F.col(key).alias("k"), simhash32(F.col(text_col)).alias("sh"))
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(key).alias("k"), F.col(text_col).alias("t"))
+        .repartition(nparts, "k")
+        .select("k", token_hashes(F.col("t")).alias("ths"))
+        .select("k", simhash_from_hashes(F.col("ths")).alias("sh"))
+    )
     width = 32 // n_chunks
     chunks = F.array(
         *[
@@ -213,32 +269,53 @@ def ngram_jaccard_pairs(
     key: str = "doc_id",
     n: int = 4,
     threshold: float = 0.4,
-    block_col: str | None = "lang",
 ) -> DataFrame:
-    """Exact char-n-gram jaccard over pairs blocked by ``block_col`` plus a
-    coarse length bucket (pairs differing >2x in length can't pass 0.4)."""
-    t = normalize_text(F.col(text_col))
-    base = df.select(
-        F.col(key).alias("k"),
-        char_ngrams(F.col(text_col), n).alias("g"),
-        (F.col(block_col) if block_col else F.lit("_")).alias("blk"),
-        F.floor(F.log2(F.greatest(F.length(t), F.lit(1)))).alias("lb"),
+    """Exact all-pairs char-n-gram jaccard >= threshold via DF-ordered
+    PREFIX FILTERING (the PPJoin family, public similarity-join
+    literature): order each doc's gram set by ascending global document
+    frequency, keep only the first |g| - ceil(t*|g|) + 1 grams as join
+    keys — any pair with J >= t provably shares a prefix gram, and rare
+    grams make candidate buckets tiny. Exact (no recall loss), global
+    (no lang/length blocking needed), and the gram key is the shuffle
+    key at scale. Verification runs on hashed (int64) gram arrays.
+    """
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(F.col(key).alias("k"), F.col(text_col).alias("t")).repartition(nparts, "k")
+    grams = src.select(
+        "k", F.transform(char_ngrams(F.col("t"), n), token_hash).alias("g")
     )
-    # pure equi-join: the left side explodes to its neighbor length buckets
-    # so (blk, lb) is a hashable shuffle key (no theta-join fallback at scale)
-    a = base.select(
-        "k", "g", "blk", F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)).alias("lb")
-    ).alias("a")
-    b = base.alias("b")
-    cand = a.join(b, ["blk", "lb"]).where(F.col("a.k") < F.col("b.k"))
-    inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")
-    union = F.size(F.array_union("a.g", "b.g")).cast("double")
+    eg = grams.select("k", F.explode("g").alias("gram"))
+    dfreq = eg.groupBy("gram").agg(F.count(F.lit(1)).alias("dfc"))
+    ranked = eg.join(dfreq, "gram")
+    per_doc = ranked.groupBy("k").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("dfc"), F.col("gram")))).alias("sg")
+    )
+    sz = F.size("sg")
+    plen = sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1
+    prefix = per_doc.select(
+        "k", sz.alias("sz"), F.slice(F.transform("sg", lambda x: x.getField("gram")), 1, plen).alias("pref")
+    )
+    pe = prefix.select("k", "sz", F.explode("pref").alias("gram"))
+    # candidates: share >=1 prefix gram + exact size-ratio bound
+    cand = (
+        pe.alias("a")
+        .join(pe.alias("b"), "gram")
+        .where(F.col("a.k") < F.col("b.k"))
+        .where(
+            (F.col("a.sz").cast("double") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz").cast("double") >= threshold * F.col("a.sz"))
+        )
+        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    pairs = (
+        cand.join(grams.select(F.col("k").alias("key_a"), F.col("g").alias("g_a")), "key_a")
+        .join(grams.select(F.col("k").alias("key_b"), F.col("g").alias("g_b")), "key_b")
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        cand.select(
-            F.col("a.k").alias("key_a"),
-            F.col("b.k").alias("key_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+        pairs.select("key_a", "key_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
