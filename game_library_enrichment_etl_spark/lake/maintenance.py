@@ -1,0 +1,68 @@
+"""Lake maintenance: small-file compaction + tombstone expiry.
+
+COW merges leave one file per (touched bucket, commit); over many batches a
+bucket accumulates at most one live file (each merge rewrites the whole
+bucket), but buckets *untouched* for long stretches keep old-schema files
+and deleted rows keep tombstones forever. ``compact`` rewrites selected
+buckets: merges files, re-projects to the current schema (retiring old
+schema_versions), and drops tombstones whose version is at or below the
+event-time watermark (safe: any event that could still arrive for that key
+would be late-dropped anyway).
+
+Runs as a normal commit: snapshot isolation, atomic pointer swap, no
+change to ``applied_batch_ids`` (idempotence markers survive compaction).
+
+Reference precursor: the ``full_run`` destructive rebuild
+(/root/reference/src/how_long_to_beat.py:150-151) — re-expressed as an
+incremental, non-destructive table service.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .table import BUCKET_COL, DELETED_COL, IceletTable, bucket_expr
+
+
+def compact(
+    table: IceletTable,
+    buckets: list[int] | None = None,
+    expire_tombstones: bool = True,
+) -> dict:
+    """Compact ``buckets`` (default: all buckets that have any file).
+
+    Returns metrics: buckets compacted, rows before/after, tombstones
+    expired (estimated from manifest row counts).
+    """
+    snap = table.snapshot()
+    ts_col, lsn_col = snap.properties["version_cols"]
+    wm_us = snap.properties.get("watermark_us")
+
+    present = sorted({f.bucket for f in snap.files})
+    todo = present if buckets is None else [b for b in buckets if b in present]
+    if not todo:
+        return {"buckets": 0, "rows_before": 0, "rows_after": 0}
+
+    rows_before = sum(f.rows for f in snap.files if f.bucket in set(todo))
+    df = table.read(buckets=todo, include_deleted=True)
+    if expire_tombstones and wm_us is not None:
+        dead = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
+            F.col(ts_col) <= F.timestamp_micros(F.lit(int(wm_us)))
+        )
+        df = df.where(~dead)
+    elif expire_tombstones and wm_us is None:
+        # no watermark tracked -> expiring any tombstone would let stale
+        # replays resurrect rows; keep them all
+        pass
+
+    out = df.withColumn(BUCKET_COL, bucket_expr(table.key_col, snap.n_buckets))
+    files = table.write_data_files(out, snap.version + 1, snap.schema.version)
+    new_snap = table.commit(files, set(todo), [], new_schema=None)
+    rows_after = sum(f.rows for f in files)
+    return {
+        "buckets": len(todo),
+        "rows_before": int(rows_before),
+        "rows_after": int(rows_after),
+        "tombstones_expired": int(rows_before - rows_after),
+        "snapshot_version": new_snap.version,
+    }

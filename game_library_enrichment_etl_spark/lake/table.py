@@ -146,6 +146,18 @@ class IceletTable:
             out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return out
 
+    def lookup(self, key_value: str, version: int | None = None) -> DataFrame:
+        """Point lookup: prune to the key's single bucket via the pure-Python
+        XXH64 (no Spark job for planning) + manifest key bounds, then filter.
+        Reads at most one bucket's files; the parquet scan gets the pushed
+        EqualTo filter for row-group skipping."""
+        from .xxhash import bucket_of
+
+        snap = self.snapshot(version)
+        b = bucket_of(key_value, snap.n_buckets)
+        df = self.read(version=version, buckets=[b], key_range=(key_value, key_value))
+        return df.where(F.col(self.key_col) == key_value)
+
     # ----------------------------------------------------------------- write
     def write_data_files(
         self, df: DataFrame, version: int, schema_version: int

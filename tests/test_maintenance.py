@@ -1,0 +1,40 @@
+"""Compaction + tombstone expiry: table state is unchanged for live rows,
+expired tombstones disappear, markers and time travel survive."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from game_library_enrichment_etl_spark.cdc.apply import apply_batch
+from game_library_enrichment_etl_spark.cdc.tables import create_pages_table
+from game_library_enrichment_etl_spark.datagen import gen_change_events, write_change_segments
+from game_library_enrichment_etl_spark.lake.maintenance import compact
+
+
+def test_compact_preserves_live_state_and_expires_tombstones(spark, tmp_path):
+    ev = gen_change_events(1200, 150, seed=51, delete_frac=0.15)
+    paths = write_change_segments(str(tmp_path / "wal"), ev.drop(columns=["title"]), 3)
+    t = create_pages_table(spark, str(tmp_path / "pages"), n_buckets=4)
+    for p in paths:
+        apply_batch(t, spark.read.parquet(p), lateness_s=600)
+
+    before = t.read().toPandas().sort_values("url").reset_index(drop=True)
+    n_tomb_before = t.read(include_deleted=True).count() - len(before)
+    assert n_tomb_before > 0
+    v_before = t.snapshot().version
+    markers = t.snapshot().applied_batch_ids
+
+    m = compact(t)
+    assert m["snapshot_version"] == v_before + 1
+    assert m["tombstones_expired"] > 0
+
+    after = t.read().toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    # markers survive compaction (exactly-once unaffected)
+    assert t.snapshot().applied_batch_ids == markers
+    # replaying a segment after compaction is still a no-op
+    res = apply_batch(t, spark.read.parquet(paths[0]), lateness_s=600)
+    assert res.skipped
+    # time travel to the pre-compaction snapshot still works
+    old = t.read(version=v_before).toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, old)
