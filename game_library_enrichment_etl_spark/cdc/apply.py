@@ -64,7 +64,7 @@ def apply_batch(
     table: IceletTable,
     batch: DataFrame,
     mode: str = "overwrite",
-    dedup_strategy: str = "agg",
+    dedup_strategy: str = "skinny",
     rename_hints: dict[str, str] | None = None,
     lateness_s: int | None = None,
     default_batch_id: int | None = None,
@@ -73,6 +73,12 @@ def apply_batch(
     segments whose ``batch_id`` is already in the snapshot's commit markers
     are filtered out; an entirely-replayed batch is a no-op."""
     t0 = time.monotonic()
+    phase_t: dict[str, float] = {}
+
+    def _mark(name: str) -> None:
+        now = time.monotonic()
+        phase_t[name] = round(now - (t0 + sum(phase_t.values())), 3)
+
     spark = table.spark
     snap = table.snapshot()
     key = snap.properties["key"]
@@ -104,6 +110,7 @@ def apply_batch(
         )
         .collect()
     )
+    _mark("t_stats")
     seg_stats = sorted((r.asDict() for r in seg_stats), key=lambda d: d["batch_id"])
     new_ids = [d["batch_id"] for d in seg_stats if d["batch_id"] not in applied]
     if not new_ids:
@@ -141,6 +148,17 @@ def apply_batch(
         winners = _fold_partial_updates(normalized, key, order_cols)
     else:
         winners = lww_dedup(normalized, key, order_cols, strategy=dedup_strategy)
+    # engine-computed columns (text from html) are extracted on the batch
+    # WINNERS only — never on carried-forward target rows (python UDFs are
+    # evaluated eagerly for every input row, so computing them inside the
+    # merge would re-extract the whole touched table every batch). Their
+    # nullness mirrors the source column's, so they merge as plain payload
+    # under both modes. The persist below materializes the extraction once.
+    for cname, src_col in computed.items():
+        winners = winners.withColumn(
+            cname,
+            F.when(F.col(OP_COL) != "D", extract_text_udf(F.col(src_col))),
+        )
     winners = winners.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets)).persist()
 
     # ---- action 2: touched buckets + winner/delete counts in one pass
@@ -152,6 +170,7 @@ def apply_batch(
         )
         .collect()
     )
+    _mark("t_dedup")
     touched = sorted(r[BUCKET_COL] for r in bstats)
     n_winners = sum(r["n"] for r in bstats)
     n_deletes = sum(r["n_del"] for r in bstats)
@@ -173,6 +192,7 @@ def apply_batch(
 
     # ---- action 3: write per-bucket files; commit snapshot atomically
     files = table.write_data_files(out, snap.version + 1, cur.version)
+    _mark("t_merge_write")
     new_snap = table.commit(
         files, set(touched), new_ids,
         cur if evo.changed else None,
@@ -183,6 +203,7 @@ def apply_batch(
     metrics = _metrics(events_in, late_dropped, n_winners, n_deletes, len(touched), new_snap)
     metrics["wall_ms"] = wall_ms
     metrics["schema_changed"] = evo.changed
+    metrics["phases_s"] = phase_t
     _append_lineage(table.root, seg_stats, metrics, new_snap.version)
     return ApplyResult(False, new_snap.version, metrics, seg_stats)
 
@@ -219,9 +240,11 @@ def _merge(
     reset = F.col("s__has_reset") if mode == "coalesce" else F.lit(True)
     merged_val: dict[str, F.Column] = {}
     for f in cur.fields:
-        if f.name in computed or f.name == DELETED_COL:
+        if f.name == DELETED_COL:
             continue
         sv, tv = F.col(f"s_{f.name}"), F.col(f"t_{f.name}")
+        # computed columns (text) arrive pre-extracted on the winners and
+        # merge exactly like payload: their nullness mirrors html's
         src_val = sv if mode != "coalesce" else F.when(reset, sv).otherwise(F.coalesce(sv, tv))
         if f.name in (key, *order_cols):
             merged_val[f.name] = F.when(take_src, sv).otherwise(tv)
@@ -230,16 +253,6 @@ def _merge(
             merged_val[f.name] = F.when(src_is_delete, F.lit(None).cast(f.type)).otherwise(
                 F.when(take_src, src_val).otherwise(tv)
             )
-
-    # engine-computed columns (text extracted from html): run the Arrow UDF
-    # only for rows the batch changed; carried-forward rows keep their
-    # stored value (extractor is pure, so replays stay byte-identical).
-    for cname, src_col in computed.items():
-        merged_val[cname] = F.when(src_is_delete, F.lit(None).cast("string")).otherwise(
-            F.when(take_src, extract_text_udf(merged_val[src_col])).otherwise(
-                F.col(f"t_{cname}")
-            )
-        )
 
     if DELETED_COL in [f.name for f in cur.fields]:
         merged_val[DELETED_COL] = F.when(take_src, F.col(f"s_{OP_COL}") == "D").otherwise(

@@ -37,8 +37,28 @@ _ENTITIES = [
 ]
 
 
+# single alternation pass == the 3-pass spec: at any position the regex
+# engine prefers the earlier alternative, so a well-formed script/style
+# block is consumed whole before the generic tag rule can eat its open tag,
+# and an unterminated block degrades to plain tag-stripping — byte-identical
+# to applying the three passes in order (verified against the 3-pass
+# reference in tests).
+_STRIP_RE = r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<[^>]*>"
+
+
 def extract_text_series(html: pd.Series) -> pd.Series:
     """Vectorized extractor over a pandas Series of html bytes (or None)."""
+    s = html.str.decode("utf-8", errors="replace")
+    s = s.str.replace(_STRIP_RE, " ", regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    return s
+
+
+def extract_text_series_3pass(html: pd.Series) -> pd.Series:
+    """The literal 3-pass spec (EXTRACTOR_VERSION 1); kept as the reference
+    implementation the fast path is tested byte-identical against."""
     s = html.str.decode("utf-8", errors="replace")
     s = s.str.replace(r"(?is)<script\b.*?</script\s*>", " ", regex=True)
     s = s.str.replace(r"(?is)<style\b.*?</style\s*>", " ", regex=True)

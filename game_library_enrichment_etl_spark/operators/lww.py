@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-STRATEGIES = ("agg", "window", "salted")
+STRATEGIES = ("agg", "window", "salted", "skinny")
 
 
 def lww_dedup(
@@ -45,7 +45,39 @@ def lww_dedup(
         return _lww_window(df, key, order_cols)
     if strategy == "salted":
         return _lww_salted(df, key, order_cols, n_salts)
+    if strategy == "skinny":
+        return _lww_skinny(df, key, order_cols)
     raise ValueError(f"unknown strategy {strategy!r}; want one of {STRATEGIES}")
+
+
+def _lww_skinny(df: DataFrame, key: str, order_cols: tuple[str, ...]) -> DataFrame:
+    """Two-phase fat-payload dedup: (1) aggregate the max version over the
+    SKINNY (key, order) projection — column pruning keeps payload bytes out
+    of the sort-aggregate buffers entirely; (2) shuffle-hash-join the
+    winning versions back against the full rows to fetch payloads (hash,
+    not sort-merge, so multi-KB payload rows are never sorted).
+
+    This is the scale default for web-page-sized payloads: max_by over a
+    struct containing a binary column falls back to SortAggregate (hash
+    aggregation needs mutable primitive buffers), which sorts every payload
+    byte twice (partial + final). Equivalent output to every other
+    strategy; the final dropDuplicates guards the pathological case of the
+    exact same (key, version) delivered twice in one batch.
+    """
+    ver = _ver(order_cols)
+    keys = df.groupBy(key).agg(F.max(ver).alias("_v"))
+    fetched = (
+        df.alias("l")
+        .join(
+            keys.hint("SHUFFLE_HASH").alias("r"),
+            on=[F.col(f"l.{key}") == F.col(f"r.{key}")]
+            + [
+                F.col(f"l.{c}") == F.col(f"r._v.{c}") for c in order_cols
+            ],
+        )
+        .select("l.*")
+    )
+    return fetched.dropDuplicates([key])
 
 
 def _ver(order_cols: tuple[str, ...]):

@@ -135,7 +135,7 @@ def test_lww_strategies_agree(spark, stream):
     ev, _ = stream
     df = spark.createDataFrame(ev.drop(columns=["title"]))
     outs = {}
-    for s in ("agg", "window", "salted"):
+    for s in ("agg", "window", "salted", "skinny"):
         outs[s] = (
             lww_dedup(df, "url", ("warc_ts", "lsn"), strategy=s)
             .select("url", "lsn")
@@ -145,6 +145,7 @@ def test_lww_strategies_agree(spark, stream):
         )
     pd.testing.assert_frame_equal(outs["agg"], outs["window"])
     pd.testing.assert_frame_equal(outs["agg"], outs["salted"])
+    pd.testing.assert_frame_equal(outs["agg"], outs["skinny"])
 
 
 def test_extractor_deterministic_and_correct():
