@@ -28,6 +28,7 @@ from game_library_enrichment_etl_spark.functions import text as TX
 from game_library_enrichment_etl_spark.operators import ann as ANN
 from game_library_enrichment_etl_spark.operators import dedup as DD
 from game_library_enrichment_etl_spark.operators import relational as R
+from game_library_enrichment_etl_spark.operators import reports as RP
 from game_library_enrichment_etl_spark.operators import similarity as SIM
 from game_library_enrichment_etl_spark.operators.multimodal import decode_binary_column
 
@@ -543,7 +544,8 @@ def _fuzzy_blocked_join(spark, sf):  # J9/J10 — THE reference enrichment join
     left = part.where(F.pmod("p_partkey", F.lit(20)) == 0).select("p_partkey", "p_name")
     right = part.where(F.pmod("p_partkey", F.lit(20)) != 0).select("p_partkey", "p_name")
     out = SIM.blocked_similarity_join(
-        left, right, "p_partkey", "p_name", "p_partkey", "p_name", threshold=50.0
+        left, right, "p_partkey", "p_name", "p_partkey", "p_name", threshold=50.0,
+        fallback_full_scan=False,
     )
     return out.select("l_key", "match_key", "similarity")
 
@@ -567,6 +569,174 @@ SELECT l.l_key,
        b.r_key AS match_key,
        b.similarity
 FROM l LEFT JOIN (SELECT * FROM best WHERE rn = 1 AND similarity >= 50.0) b USING (l_key)
+"""
+
+
+def _fuzzy_blocked_join_fallback(spark, sf):
+    """J9 with the reference's empty-block fallback
+    (/root/reference/src/internet_games_database.py:459-466): every 40th
+    left name is prefixed with '##' so its block key exists on no candidate;
+    those rows must be scored against the FULL candidate list instead of
+    getting a silent null match."""
+    part = _t(spark, sf, "part")
+    left = (
+        part.where(F.pmod("p_partkey", F.lit(20)) == 0)
+        .select(
+            "p_partkey",
+            F.when(
+                F.pmod("p_partkey", F.lit(40)) == 0, F.concat(F.lit("##"), F.col("p_name"))
+            )
+            .otherwise(F.col("p_name"))
+            .alias("p_name"),
+        )
+    )
+    right = part.where(F.pmod("p_partkey", F.lit(20)) != 0).select("p_partkey", "p_name")
+    out = SIM.blocked_similarity_join(
+        left, right, "p_partkey", "p_name", "p_partkey", "p_name", threshold=50.0,
+        fallback_full_scan=True,
+    )
+    return out.select("l_key", "match_key", "similarity")
+
+
+_J9F_SQL = f"""
+WITH l0 AS (SELECT p_partkey AS l_key,
+                   CASE WHEN p_partkey % 40 = 0 THEN '##' || p_name ELSE p_name END AS l_txt
+            FROM part WHERE p_partkey % 20 = 0),
+     l1 AS (SELECT l_key, l_txt, lower(substr(l_txt, 1, 1)) AS blk FROM l0),
+     r AS (SELECT p_partkey AS r_key, p_name AS r_txt,
+                  lower(substr(p_name, 1, 1)) AS blk
+           FROM part WHERE p_partkey % 20 <> 0 AND p_name IS NOT NULL),
+     l AS (SELECT l_key, l_txt,
+                  CASE WHEN blk IN (SELECT DISTINCT blk FROM r) THEN blk
+                       ELSE '@@fallback' END AS blk
+           FROM l1),
+     r2 AS (SELECT r_key, r_txt, blk FROM r
+            UNION ALL
+            SELECT r_key, r_txt, '@@fallback' AS blk FROM r),
+     scored AS (
+       SELECT l.l_key, r2.r_key,
+              {_SIM_SQL.format(a='l.l_txt', b='r2.r_txt')} AS similarity
+       FROM l JOIN r2 USING (blk)),
+     best AS (
+       SELECT l_key, r_key, similarity,
+              row_number() OVER (PARTITION BY l_key ORDER BY similarity DESC, r_key ASC) rn
+       FROM scored)
+SELECT l.l_key,
+       b.r_key AS match_key,
+       b.similarity
+FROM l LEFT JOIN (SELECT * FROM best WHERE rn = 1 AND similarity >= 50.0) b USING (l_key)
+"""
+
+
+def _fuzzy_matched(spark, sf):
+    part = _t(spark, sf, "part")
+    left = part.where(F.pmod("p_partkey", F.lit(20)) == 0).select("p_partkey", "p_name")
+    right = part.where(F.pmod("p_partkey", F.lit(20)) != 0).select("p_partkey", "p_name")
+    return SIM.blocked_similarity_join(
+        left, right, "p_partkey", "p_name", "p_partkey", "p_name", threshold=50.0,
+        fallback_full_scan=False,
+    )
+
+
+def _fuzzy_matched_mangled(spark, sf, threshold: float):
+    """Fuzzy match with deterministically perturbed left names (a ' q' +
+    variable 'z'-run suffix), so similarities spread below 100 and the
+    issue reports have real rows to quarantine — the reference's inputs
+    are two genuinely different catalogs, this reproduces that shape."""
+    part = _t(spark, sf, "part")
+    left = part.where(F.pmod("p_partkey", F.lit(20)) == 0).select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"), F.lit(" q"),
+            F.expr("repeat('z', CAST(p_partkey % 11 AS INT))"),
+        ).alias("p_name"),
+    )
+    right = part.where(F.pmod("p_partkey", F.lit(20)) != 0).select("p_partkey", "p_name")
+    return SIM.blocked_similarity_join(
+        left, right, "p_partkey", "p_name", "p_partkey", "p_name",
+        threshold=threshold, fallback_full_scan=False,
+    )
+
+
+_MANGLED_CTE = """
+l AS (SELECT p_partkey AS l_key,
+             p_name || ' q' || repeat('z', (p_partkey % 11)::INT) AS l_txt,
+             lower(substr(p_name, 1, 1)) AS blk
+      FROM part WHERE p_partkey % 20 = 0),
+r AS (SELECT p_partkey AS r_key, p_name AS r_txt,
+             lower(substr(p_name, 1, 1)) AS blk
+      FROM part WHERE p_partkey % 20 <> 0 AND p_name IS NOT NULL),
+scored AS (
+  SELECT l.l_key, r.r_key,
+         {sim} AS similarity
+  FROM l JOIN r USING (blk)),
+best AS (
+  SELECT l_key, r_key, similarity,
+         row_number() OVER (PARTITION BY l_key ORDER BY similarity DESC, r_key ASC) rn
+  FROM scored)
+""".format(sim=_SIM_SQL.format(a="l.l_txt", b="r.r_txt"))
+
+
+def _low_similarity_report(spark, sf):  # S10 — low_similarity_games.csv analog
+    out = RP.low_similarity_report(
+        _fuzzy_matched_mangled(spark, sf, threshold=50.0), threshold_low=75.0
+    )
+    return out.select("l_key", "match_key", "similarity")
+
+
+_LOWSIM_SQL = f"""
+WITH {_MANGLED_CTE}
+SELECT l_key, r_key AS match_key, similarity
+FROM best WHERE rn = 1 AND similarity >= 50.0 AND similarity < 75.0
+"""
+
+
+def _unmatched_report(spark, sf):  # S10 — no_hltb_records.csv analog
+    return RP.unmatched_report(_fuzzy_matched_mangled(spark, sf, threshold=75.0))
+
+
+_UNMATCHED_SQL = f"""
+WITH {_MANGLED_CTE}
+SELECT l.l_key, l.l_txt
+FROM l LEFT JOIN (SELECT * FROM best WHERE rn = 1 AND similarity >= 75.0) b USING (l_key)
+WHERE b.r_key IS NULL
+"""
+
+
+def _attr_mismatch_report(spark, sf):  # S10 — year_mismatches.csv analog
+    part = _t(spark, sf, "part")
+    left = part.where(F.pmod("p_partkey", F.lit(20)) == 0)
+    right = part.where(F.pmod("p_partkey", F.lit(20)) != 0)
+    out = RP.attribute_mismatch_report(
+        _fuzzy_matched(spark, sf), left, right,
+        "p_partkey", "p_partkey", "p_size", "p_size",
+    )
+    return out.select(
+        "l_key", "match_key", "similarity",
+        F.col("l_attr").cast("int").alias("l_attr"),
+        F.col("r_attr").cast("int").alias("r_attr"),
+    )
+
+
+_ATTR_MISMATCH_SQL = f"""
+SELECT m.l_key, m.match_key, m.similarity,
+       lp.p_size::INT AS l_attr, rp.p_size::INT AS r_attr
+FROM ({_J9_SQL}) m
+JOIN part lp ON lp.p_partkey = m.l_key
+JOIN part rp ON rp.p_partkey = m.match_key
+WHERE m.match_key IS NOT NULL
+  AND lp.p_size IS DISTINCT FROM rp.p_size
+"""
+
+
+def _category_analysis(spark, sf):  # S10 — category_analysis.csv analog
+    return RP.category_analysis(_t(spark, sf, "orders"), "o_orderpriority")
+
+
+_CATEGORY_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS pct
+FROM orders GROUP BY o_orderpriority
 """
 
 
@@ -666,6 +836,26 @@ def _simhash_sql() -> str:
     return f"""
 SELECT doc_id, ({bits}) AS simhash
 FROM (SELECT doc_id, [{h} for tok in {toks}] AS hs FROM documents)
+"""
+
+
+def _simhash_pairs(spark, sf):
+    """Banded SimHash near-dup candidate pairs (pigeonhole-exact for
+    hamming <= n_chunks - 1); the oracle brute-forces all pairs — identical
+    result set, which is exactly the exactness claim under test."""
+    out = DD.simhash_pairs(
+        _repart(spark, _t(spark, sf, "documents")), max_hamming=3, n_chunks=4
+    )
+    return out.select("key_a", "key_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _simhash_pairs_sql() -> str:
+    return f"""
+WITH s AS ({_simhash_sql()})
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
@@ -920,9 +1110,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_counts_pct": _value_counts_pct,
         "summary_metrics": _summary_metrics,
         "fuzzy_blocked_join": _fuzzy_blocked_join,
+        "fuzzy_blocked_join_fallback": _fuzzy_blocked_join_fallback,
+        "low_similarity_report": _low_similarity_report,
+        "unmatched_report": _unmatched_report,
+        "attr_mismatch_report": _attr_mismatch_report,
+        "category_analysis": _category_analysis,
         "exact_dedup_docs": _exact_dedup_docs,
         "minhash_lsh_pairs": _minhash_lsh_pairs,
         "simhash_docs": _simhash_docs,
+        "simhash_pairs": _simhash_pairs,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "embedding_topk_cosine": _embedding_topk,
         "embedding_srp_ann": _embedding_srp_ann,
@@ -961,9 +1157,15 @@ def oracle_sql() -> dict[str, str]:
         "value_counts_pct": _A9_SQL,
         "summary_metrics": _A11_SQL,
         "fuzzy_blocked_join": _J9_SQL,
+        "fuzzy_blocked_join_fallback": _J9F_SQL,
+        "low_similarity_report": _LOWSIM_SQL,
+        "unmatched_report": _UNMATCHED_SQL,
+        "attr_mismatch_report": _ATTR_MISMATCH_SQL,
+        "category_analysis": _CATEGORY_SQL,
         "exact_dedup_docs": _EXACT_DEDUP_SQL,
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_docs": _simhash_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
         "ngram_jaccard_pairs": _ngram_sql(),
         "embedding_topk_cosine": _ANN_SQL,
         "embedding_srp_ann": _srp_sql(),

@@ -24,9 +24,12 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_cdc_apply(spark, sf_dir: str, n_segments: int = 8) -> dict:
+def bench_cdc_apply(spark, sf_dir: str, n_segments: int = 8, strategy: str = "mor") -> dict:
     """Derive a change stream from the events table (shape: FIXTURES.md §2),
-    split into segments, run the full apply loop into a fresh icelet table."""
+    split into segments, run the full apply loop into a fresh icelet table.
+
+    ``strategy``: ``mor`` (merge-on-read, the O(batch)-per-batch scale path
+    and the headline number) or ``cow`` (copy-on-write merge)."""
     import __spark_entry__ as E
     from game_library_enrichment_etl_spark.cdc.apply import apply_batch
     from game_library_enrichment_etl_spark.cdc.tables import create_pages_table
@@ -37,7 +40,9 @@ def bench_cdc_apply(spark, sf_dir: str, n_segments: int = 8) -> dict:
     )
     n_events = stream.count()
     root = tempfile.mkdtemp(prefix="icelet_bench_")
-    table = create_pages_table(spark, os.path.join(root, "pages"), n_buckets=32)
+    table = create_pages_table(
+        spark, os.path.join(root, "pages"), n_buckets=32, merge_strategy=strategy
+    )
     t0 = time.monotonic()
     for b in range(n_segments):
         apply_batch(table, stream.where(F.col("batch_id") == b))
@@ -101,8 +106,10 @@ def main() -> None:
     # warm the JVM/codegen path once with a trivial job
     spark.range(1000).count()
 
-    cdc = bench_cdc_apply(spark, sf_dir)
+    cdc = bench_cdc_apply(spark, sf_dir, strategy="mor")
     times["cdc_apply"] = round(cdc["sec"], 3)
+    cdc_cow = bench_cdc_apply(spark, sf_dir, strategy="cow")
+    times["cdc_apply_cow"] = round(cdc_cow["sec"], 3)
 
     for name in HEADLINE:
         fn = _EXTRA.get(name) or qs[name]
@@ -121,6 +128,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "events_per_sec": round(cdc["events_per_sec"], 1),
+                "events_per_sec_cow": round(cdc_cow["events_per_sec"], 1),
                 "cdc_events": cdc["events"],
                 "cpus": int(cpus),
             }

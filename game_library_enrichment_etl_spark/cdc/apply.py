@@ -21,16 +21,27 @@ Merge modes
 
 Scale notes (100 TB design)
 ---------------------------
-- The target side of the merge is pruned to the buckets the batch touches
-  (manifest bucket ids + key bounds) — merge cost is O(touched data), not
-  O(table).
+- Under the table's ``mor`` (merge-on-read) strategy the batch's winner
+  rows are APPENDED as delta files — per-batch write cost is O(batch),
+  never O(table); reads resolve LWW by (version, file sequence) and
+  ``lake.maintenance.compact`` folds buckets back to one file. Under
+  ``cow`` the target side of the merge is pruned to the buckets the batch
+  touches (manifest bucket ids) — merge cost is O(touched data).
 - LWW dedup uses partial-aggregable ``max_by`` (map-side combine), so hot
   urls reduce before the shuffle; a ``salted`` two-phase strategy is
   available for pathological keys (see operators/lww.py).
 - Everything is DataFrame-API; the only Python execution is the
   Arrow-vectorized html->text extractor (functions/extract.py).
-- Exactly 3 small actions per batch (per-segment stats, per-bucket winner
-  stats, the write) — no collect() of data rows.
+- Exactly 3 actions per batch, only one of which touches payload bytes:
+  (1) a skinny column-pruned stats pass (per WAL-partition offsets + the
+  touched bucket set), (2) a skinny winner-count aggregation (key/version/
+  op only — map-side combinable, no html, no UDF), (3) the write itself.
+  The html-bearing winner rows are computed exactly once inside the write
+  (no persist, no second pass over payloads). A ``DataFrame.observe``
+  design was rejected: ``Observation.get`` deadlocks when the apply runs
+  inside a Structured Streaming ``foreachBatch`` callback (the py4j
+  callback thread can't re-enter the JVM while the streaming engine waits
+  on it).
 """
 
 from __future__ import annotations
@@ -98,7 +109,9 @@ def apply_batch(
         else F.lit(False)
     )
 
-    # ---- action 1: per-segment (per WAL partition) offset + late stats
+    # ---- action 1 (the only extra job): per-segment (per WAL partition)
+    # offset/late stats + the batch's touched bucket set, in one skinny
+    # column-pruned pass (batch_id, lsn, ts, key — html never read here)
     seg_stats = (
         batch.groupBy("batch_id")
         .agg(
@@ -107,6 +120,9 @@ def apply_batch(
             F.max(lsn_col).alias("lsn_max"),
             F.max(ts_col).alias("ts_max"),
             F.sum(late_pred.cast("long")).alias("late_dropped"),
+            F.collect_set(
+                F.when(~late_pred, bucket_expr(key, snap.n_buckets))
+            ).alias("buckets"),
         )
         .collect()
     )
@@ -125,6 +141,9 @@ def apply_batch(
     events_in = sum(d["events_in"] for d in seg_stats)
     late_dropped = sum(d["late_dropped"] or 0 for d in seg_stats)
     max_ts = max((d["ts_max"] for d in seg_stats if d["ts_max"] is not None), default=None)
+    # every surviving event's key yields exactly one LWW winner, so the
+    # winners' bucket set equals the surviving events' bucket set
+    touched = sorted({b for d in seg_stats for b in (d["buckets"] or [])})
 
     # ---- schema evolution resolved at apply time (add / rename / widen)
     payload_struct = batch.drop(*[c for c in META_COLS if c in batch.columns]).schema
@@ -148,61 +167,89 @@ def apply_batch(
         winners = _fold_partial_updates(normalized, key, order_cols)
     else:
         winners = lww_dedup(normalized, key, order_cols, strategy=dedup_strategy)
+    if not touched:  # nothing survived late-drop/replay: commit markers only
+        new_snap = table.commit([], set(), new_ids, cur if evo.changed else None,
+                                _wm_update(wm_us, max_ts, lateness_s))
+        metrics = _metrics(events_in, late_dropped, 0, 0, 0, new_snap)
+        _append_lineage(table.root, seg_stats, metrics, new_snap.version)
+        return ApplyResult(False, new_snap.version, metrics, seg_stats)
+
     # engine-computed columns (text from html) are extracted on the batch
     # WINNERS only — never on carried-forward target rows (python UDFs are
     # evaluated eagerly for every input row, so computing them inside the
     # merge would re-extract the whole touched table every batch). Their
     # nullness mirrors the source column's, so they merge as plain payload
-    # under both modes. The persist below materializes the extraction once.
+    # under both modes. Winners flow into exactly one action (the write),
+    # so the extraction runs exactly once without any persist.
     for cname, src_col in computed.items():
         winners = winners.withColumn(
             cname,
             F.when(F.col(OP_COL) != "D", extract_text_udf(F.col(src_col))),
         )
-    winners = winners.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets)).persist()
-
-    # ---- action 2: touched buckets + winner/delete counts in one pass
-    bstats = (
-        winners.groupBy(BUCKET_COL)
+    # ---- action 2: winner/delete counts over the SKINNY projection only
+    # (key, version, op — Catalyst prunes html out of the scan; map-side
+    # combinable two-level aggregation, so it is shuffle-light at any scale)
+    ver = F.struct(*[F.col(c) for c in order_cols])
+    wrow = (
+        normalized.groupBy(key)
+        .agg(F.max_by(F.col(OP_COL), ver).alias("_op"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((F.col(OP_COL) == "D").cast("long")).alias("n_del"),
+            F.sum((F.col("_op") == "D").cast("long")).alias("n_del"),
         )
-        .collect()
+        .collect()[0]
     )
-    _mark("t_dedup")
-    touched = sorted(r[BUCKET_COL] for r in bstats)
-    n_winners = sum(r["n"] for r in bstats)
-    n_deletes = sum(r["n_del"] for r in bstats)
+    n_winners, n_deletes = int(wrow["n"]), int(wrow["n_del"] or 0)
+    _mark("t_winner_stats")
 
-    if not touched:  # nothing survived late-drop: commit markers only
-        new_snap = table.commit([], set(), new_ids, cur if evo.changed else None,
-                                _wm_update(wm_us, max_ts, lateness_s))
-        winners.unpersist()
-        metrics = _metrics(events_in, late_dropped, n_winners, n_deletes, 0, new_snap)
-        _append_lineage(table.root, seg_stats, metrics, new_snap.version)
-        return ApplyResult(False, new_snap.version, metrics, seg_stats)
+    use_mor = (
+        table.merge_strategy == "mor"
+        and mode == "overwrite"
+        and DELETED_COL in cur.names()
+    )
+    if use_mor:
+        # ---- merge-on-read: APPEND the winners as delta files (deletes as
+        # tombstone rows); no target read, no join — O(batch) per batch.
+        # Reads resolve LWW by (version, file sequence); see lake/table.py.
+        out_cols = []
+        is_del = F.col(OP_COL) == "D"
+        for f in cur.fields:
+            if f.name == DELETED_COL:
+                out_cols.append(is_del.alias(DELETED_COL))
+            elif f.name in (key, *order_cols):
+                out_cols.append(F.col(f.name).cast(f.type).alias(f.name))
+            else:
+                out_cols.append(
+                    F.when(is_del, F.lit(None).cast(f.type))
+                    .otherwise(F.col(f.name).cast(f.type))
+                    .alias(f.name)
+                )
+        out = winners.select(*out_cols)
+        replaced: set[int] = set()
+    else:
+        # ---- copy-on-write MERGE as a single full-outer join against the
+        # bucket-pruned target (tombstones included: a stale replayed event
+        # must lose to a newer D; target projected to the evolved schema)
+        winners = winners.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
+        target = table.read(buckets=touched, include_deleted=True, as_schema=cur)
+        out = _merge(target, winners, key, order_cols, cur, computed, mode)
+        replaced = set(touched)
 
-    # ---- MERGE as a single full-outer join against the pruned target
-    # (tombstones included: a stale replayed event must lose to a newer D;
-    # target projected to the evolved schema so merge columns line up)
-    target = table.read(buckets=touched, include_deleted=True, as_schema=cur)
-    out = _merge(target, winners, key, order_cols, cur, computed, mode)
     out = out.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
 
     # ---- action 3: write per-bucket files; commit snapshot atomically
     files = table.write_data_files(out, snap.version + 1, cur.version)
     _mark("t_merge_write")
     new_snap = table.commit(
-        files, set(touched), new_ids,
+        files, replaced, new_ids,
         cur if evo.changed else None,
         _wm_update(wm_us, max_ts, lateness_s),
     )
-    winners.unpersist()
     wall_ms = int((time.monotonic() - t0) * 1000)
     metrics = _metrics(events_in, late_dropped, n_winners, n_deletes, len(touched), new_snap)
     metrics["wall_ms"] = wall_ms
     metrics["schema_changed"] = evo.changed
+    metrics["merge_strategy"] = "mor" if use_mor else "cow"
     metrics["phases_s"] = phase_t
     _append_lineage(table.root, seg_stats, metrics, new_snap.version)
     return ApplyResult(False, new_snap.version, metrics, seg_stats)
@@ -323,6 +370,9 @@ def _wm_update(wm_us: int | None, max_ts, lateness_s: int | None) -> dict:
 
 
 def _metrics(events_in, late_dropped, n_winners, n_deletes, n_buckets_touched, snap) -> dict:
+    # rows_after is the manifest row count: exact live+tombstone rows under
+    # cow; under mor it counts STORED rows (shadowed delta rows included)
+    # until compaction folds them — computing live rows would cost a scan.
     return {
         "events_in": int(events_in),
         "late_dropped": int(late_dropped),

@@ -32,7 +32,10 @@ PAGES_SCHEMA = T.StructType(
 
 
 def create_pages_table(
-    spark: SparkSession, root: str, n_buckets: int = 16
+    spark: SparkSession,
+    root: str,
+    n_buckets: int = 16,
+    merge_strategy: str = "cow",
 ) -> IceletTable:
     return IceletTable.create(
         spark,
@@ -41,12 +44,13 @@ def create_pages_table(
         key_col="url",
         version_cols=("warc_ts", "lsn"),
         n_buckets=n_buckets,
+        merge_strategy=merge_strategy,
     )
 
 
 def get_or_create_pages_table(
-    spark: SparkSession, root: str, n_buckets: int = 16
+    spark: SparkSession, root: str, n_buckets: int = 16, merge_strategy: str = "cow"
 ) -> IceletTable:
     if IceletTable.exists(root):
         return IceletTable(spark, root)
-    return create_pages_table(spark, root, n_buckets)
+    return create_pages_table(spark, root, n_buckets, merge_strategy)

@@ -113,6 +113,7 @@ def gen_change_events(
     late_frac: float = 0.02,
     late_by_s: int = 100_000,
     jitter_s: int = 30,
+    start_lsn: int = 0,
 ) -> pd.DataFrame:
     """Deterministic change stream as one ordered pandas frame.
 
@@ -127,7 +128,7 @@ def gen_change_events(
     urls = make_urls(n_urls, n_domains, seed + 1)
     # Zipfian url popularity -> repeated updates concentrated on hot urls
     pick = rng.choice(n_urls, size=n_events, p=zipf_weights(n_urls, s=1.05))
-    lsn = np.arange(n_events, dtype=np.int64)
+    lsn = start_lsn + np.arange(n_events, dtype=np.int64)
     ts = EPOCH_BASE + lsn + rng.integers(-jitter_s, jitter_s + 1, size=n_events)
     late_mask = rng.random(n_events) < late_frac
     ts = np.where(late_mask, ts - late_by_s, ts)
@@ -168,6 +169,7 @@ def write_change_segments(
     events: pd.DataFrame,
     n_segments: int,
     evolution: EvolutionSpec | None = None,
+    first_batch_id: int = 0,
 ) -> list[str]:
     """Split the ordered event frame into ``n_segments`` parquet segment files.
 
@@ -183,7 +185,7 @@ def write_change_segments(
     paths = []
     for k in range(n_segments):
         seg = events.iloc[bounds[k] : bounds[k + 1]].copy()
-        seg["batch_id"] = np.int64(k)
+        seg["batch_id"] = np.int64(first_batch_id + k)
 
         has_title = evolution is not None and k >= evolution.add_title_from
         lang_name = (
@@ -208,7 +210,7 @@ def write_change_segments(
             cols["title"] = pa.array(seg["title"], pa.string())
         cols["batch_id"] = pa.array(seg["batch_id"], pa.int64())
 
-        path = os.path.join(out_dir, f"seg-{k:05d}.parquet")
+        path = os.path.join(out_dir, f"seg-{first_batch_id + k:05d}.parquet")
         pq.write_table(pa.table(cols), path)
         paths.append(path)
     return paths

@@ -46,8 +46,12 @@ def compact(
     rows_before = sum(f.rows for f in snap.files if f.bucket in set(todo))
     df = table.read(buckets=todo, include_deleted=True)
     if expire_tombstones and wm_us is not None:
+        # STRICTLY below the watermark: apply_batch's late-drop predicate is
+        # ts < watermark (apply.py), so an event AT the watermark can still
+        # arrive — a tombstone with ts == watermark must survive expiry or a
+        # replayed stale event at the boundary would resurrect the row.
         dead = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
-            F.col(ts_col) <= F.timestamp_micros(F.lit(int(wm_us)))
+            F.col(ts_col) < F.timestamp_micros(F.lit(int(wm_us)))
         )
         df = df.where(~dead)
     elif expire_tombstones and wm_us is None:

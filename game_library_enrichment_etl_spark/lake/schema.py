@@ -116,15 +116,19 @@ def evolve(
     current: TableSchema,
     incoming: T.StructType,
     rename_hints: dict[str, str] | None = None,
-    auto_detect_rename: bool = True,
+    auto_detect_rename: bool = False,
 ) -> EvolutionResult:
     """Resolve an incoming batch schema against the current table schema.
 
     Supported evolutions (north_rule: add / rename / type-widen):
     - add:    incoming column absent from current -> new field (next id)
     - rename: via explicit ``rename_hints`` {old_name: new_name} (DDL-style,
-      as real CDC streams carry), or auto-detected when exactly one column
-      vanished and exactly one appeared with an identical type
+      as real CDC streams carry). ``auto_detect_rename`` (OFF by default)
+      additionally treats "exactly one column vanished + exactly one
+      appeared with the identical type" as a rename — it is off because CDC
+      batches legitimately omit columns (partial updates), and silently
+      re-projecting an omitted column's history under a new name would be
+      data corruption; opt in only for full-schema sources.
     - widen:  incoming type is a legal promotion of the field type
       (int->long, float->double); the field type is widened and old data
       files are up-cast on read.
@@ -145,15 +149,15 @@ def evolve(
     for old, new in rename_hints.items():
         if old in cur_by_name and new in extra:
             renamed[old] = new
-    # auto-detect single rename: one vanished + one appeared, same type
+    # opt-in auto-detect single rename: one vanished + one appeared, and the
+    # types must be IDENTICAL (a widenable-but-different type is not enough
+    # evidence to risk re-projecting history under a new name)
     if auto_detect_rename and not renamed:
         cand_old = [n for n in missing if n not in renamed]
         cand_new = [n for n in extra]
         if len(cand_old) == 1 and len(cand_new) == 1:
             old, new = cand_old[0], cand_new[0]
-            if can_widen(_simple(in_by_name[new].dataType), cur_by_name[old].type) or can_widen(
-                cur_by_name[old].type, _simple(in_by_name[new].dataType)
-            ):
+            if _simple(in_by_name[new].dataType) == cur_by_name[old].type:
                 renamed[old] = new
 
     new_fields: list[Field] = []

@@ -3,7 +3,7 @@
 An icelet table directory:
 
     table_root/
-      data/v{N}/_bucket={K}/part-*.parquet   # immutable data files per commit
+      data/v{N}-{uuid}/_bucket={K}/part-*.parquet  # immutable data files per commit attempt
       snapshots/v{N}.json                    # snapshot (manifest inlined)
       _current                               # pointer file: name of live snapshot
 
@@ -37,6 +37,11 @@ class DataFileMeta:
     ``min_key``/``max_key`` are the per-file key bounds used for
     merge file-pruning (SURVEY.md §4 custom-3 — the Iceberg-manifest
     subset we reimplement because no Iceberg jar is bundled).
+
+    ``sequence`` is the commit sequence number the file was written at
+    (Iceberg v2's data sequence number): under merge-on-read, rows with
+    equal (warc_ts, lsn) versions resolve to the later-committed file,
+    matching copy-on-write's "source wins on version tie" rule.
     """
 
     path: str  # relative to table_root
@@ -45,6 +50,7 @@ class DataFileMeta:
     min_key: str | None
     max_key: str | None
     schema_version: int
+    sequence: int = 0
 
     def to_json(self) -> dict:
         return {
@@ -54,13 +60,14 @@ class DataFileMeta:
             "min_key": self.min_key,
             "max_key": self.max_key,
             "schema_version": self.schema_version,
+            "sequence": self.sequence,
         }
 
     @staticmethod
     def from_json(d: dict) -> "DataFileMeta":
         return DataFileMeta(
             d["path"], d["bucket"], d["rows"], d.get("min_key"), d.get("max_key"),
-            d["schema_version"],
+            d["schema_version"], d.get("sequence", 0),
         )
 
 

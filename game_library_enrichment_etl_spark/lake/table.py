@@ -17,6 +17,7 @@ read / merge-commit / snapshot) so a real Iceberg catalog could slot in.
 from __future__ import annotations
 
 import os
+import uuid
 from functools import reduce
 
 import pyarrow.parquet as pq
@@ -56,14 +57,32 @@ class IceletTable:
         key_col: str = "url",
         version_cols: tuple[str, str] = ("warc_ts", "lsn"),
         n_buckets: int = 16,
+        merge_strategy: str = "cow",
         properties: dict | None = None,
     ) -> "IceletTable":
+        """``merge_strategy``:
+
+        - ``cow`` (copy-on-write): each merge rewrites every touched bucket's
+          files wholesale; reads are resolution-free. Best for read-heavy /
+          batchy workloads.
+        - ``mor`` (merge-on-read): each merge APPENDS the batch's winner rows
+          (deletes as tombstones) as new data files — per-batch write cost is
+          O(batch), never O(table); reads resolve last-writer-wins per key by
+          (version_cols, file sequence) and ``compact`` folds buckets back to
+          one resolution-free file. The scale path for 10^10-event streams.
+        """
+        if merge_strategy not in ("cow", "mor"):
+            raise ValueError(f"merge_strategy must be cow|mor, got {merge_strategy!r}")
         if read_snapshot(root) is not None:
             raise FileExistsError(f"table already exists at {root}")
         tschema = (
             schema if isinstance(schema, TableSchema) else TableSchema.from_spark(schema, 0)
         )
-        props = {"key": key_col, "version_cols": list(version_cols)}
+        props = {
+            "key": key_col,
+            "version_cols": list(version_cols),
+            "merge_strategy": merge_strategy,
+        }
         props.update(properties or {})
         snap = Snapshot(
             version=0, parent=None, n_buckets=n_buckets, schemas=[tschema], files=[],
@@ -77,6 +96,54 @@ class IceletTable:
     def exists(root: str) -> bool:
         return read_snapshot(root) is not None
 
+    @staticmethod
+    def create_or_replace(
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType | TableSchema,
+        key_col: str = "url",
+        version_cols: tuple[str, str] = ("warc_ts", "lsn"),
+        n_buckets: int = 16,
+        merge_strategy: str = "cow",
+        properties: dict | None = None,
+    ) -> "IceletTable":
+        """CREATE OR REPLACE: the destructive full-replay reset verb
+        (reference: the ``full_run`` rebuild flag,
+        /root/reference/src/how_long_to_beat.py:150-151). The replacement is
+        a normal commit — a new snapshot with an empty file list, a fresh
+        schema lineage, and CLEARED batch-id markers/watermark so the whole
+        change stream re-applies — while every prior snapshot stays readable
+        via time travel (non-destructive at the metadata level; old data
+        files are reclaimed by retention, not by this verb)."""
+        prev = read_snapshot(root)
+        if prev is None:
+            return IceletTable.create(
+                spark, root, schema, key_col, version_cols, n_buckets,
+                merge_strategy, properties,
+            )
+        if merge_strategy not in ("cow", "mor"):
+            raise ValueError(f"merge_strategy must be cow|mor, got {merge_strategy!r}")
+        tschema = (
+            schema if isinstance(schema, TableSchema) else TableSchema.from_spark(schema, 0)
+        )
+        props = {
+            "key": key_col,
+            "version_cols": list(version_cols),
+            "merge_strategy": merge_strategy,
+        }
+        props.update(properties or {})
+        snap = Snapshot(
+            version=prev.version + 1,
+            parent=prev.version,
+            n_buckets=n_buckets,
+            schemas=[tschema],
+            files=[],
+            applied_batch_ids=[],
+            properties=props,
+        )
+        write_snapshot(root, snap)
+        return IceletTable(spark, root)
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         snap = read_snapshot(self.root, version)
         if snap is None:
@@ -86,6 +153,10 @@ class IceletTable:
     @property
     def key_col(self) -> str:
         return self.snapshot().properties["key"]
+
+    @property
+    def merge_strategy(self) -> str:
+        return self.snapshot().properties.get("merge_strategy", "cow")
 
     # ------------------------------------------------------------------ read
     def read(
@@ -102,7 +173,14 @@ class IceletTable:
         are filtered out unless ``include_deleted``. ``as_schema`` projects
         to a not-yet-committed evolved schema (fields matched by id; new
         fields read as null) — used by the merge when the incoming batch
-        evolves the schema."""
+        evolves the schema.
+
+        Under merge-on-read, a key may appear in several delta files of its
+        bucket; the read resolves last-writer-wins per key by
+        (version_cols, file sequence). The resolution is skipped entirely
+        when every selected bucket holds at most one file (COW tables, or a
+        MOR table right after compaction) — then files are disjoint by
+        construction."""
         snap = self.snapshot(version)
         cur = as_schema if as_schema is not None else snap.schema
         files = snap.files
@@ -122,14 +200,22 @@ class IceletTable:
                 empty = empty.drop(DELETED_COL)
             return empty
 
-        # group files by the schema version they were written under and
-        # re-project by field id (rename/widen are metadata-only).
-        by_sv: dict[int, list[str]] = {}
+        per_bucket: dict[int, int] = {}
         for f in files:
-            by_sv.setdefault(f.schema_version, []).append(os.path.join(self.root, f.path))
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        mor = snap.properties.get("merge_strategy", "cow") == "mor"
+        needs_resolve = mor and max(per_bucket.values()) > 1
+
+        # group files by (schema version, sequence) they were written under
+        # and re-project by field id (rename/widen are metadata-only);
+        # sequence rides along as _seq for MOR version-tie resolution.
+        by_sv: dict[tuple[int, int], list[str]] = {}
+        for f in files:
+            by_sv.setdefault((f.schema_version, f.sequence), []).append(
+                os.path.join(self.root, f.path)
+            )
         parts = []
-        cur_by_id = {f.id: f for f in cur.fields}
-        for sv, paths in by_sv.items():
+        for (sv, seq), paths in by_sv.items():
             old = snap.schema_at(sv)
             df = self.spark.read.schema(old.to_spark()).parquet(*paths)
             cols = []
@@ -140,8 +226,17 @@ class IceletTable:
                     cols.append(F.lit(None).cast(cf.type).alias(cf.name))
                 else:
                     cols.append(F.col(of.name).cast(cf.type).alias(cf.name))
+            if needs_resolve:
+                cols.append(F.lit(seq).cast("long").alias("_seq"))
             parts.append(df.select(*cols))
         out = reduce(lambda a, b: a.unionByName(b), parts)
+        if needs_resolve:
+            from ..operators.lww import lww_dedup
+
+            order = tuple(snap.properties["version_cols"]) + ("_seq",)
+            out = lww_dedup(
+                out, snap.properties["key"], order, strategy="skinny"
+            ).drop("_seq")
         if DELETED_COL in cur.names() and not include_deleted:
             out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return out
@@ -163,43 +258,62 @@ class IceletTable:
         self, df: DataFrame, version: int, schema_version: int
     ) -> list[DataFileMeta]:
         """Write ``df`` (current-schema columns + ``_bucket``) as immutable
-        per-bucket parquet files under data/v{version}; return their manifest
-        entries with key bounds harvested from parquet footers (no data scan).
+        per-bucket parquet files under a per-attempt unique directory
+        data/v{version}-{uuid}; return their manifest entries with key bounds
+        harvested from parquet footers (no data scan).
+
+        The uuid suffix makes retries safe: a crash between the data-file
+        write and the snapshot commit leaves an orphan directory no snapshot
+        references, and the retried apply writes a fresh directory instead of
+        colliding with the orphan (manifest entries record exact paths, so
+        readers never glob).
         """
         key = self.key_col
-        rel_dir = os.path.join("data", f"v{version}")
+        rel_dir = os.path.join("data", f"v{version}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel_dir)
         # hash-repartition on _bucket => each bucket's rows land in exactly
-        # one task => exactly one file per touched bucket (no tiny files).
+        # one task => exactly one file per touched bucket (no tiny files);
+        # rows sorted by key within each file so parquet row-group stats
+        # enable key-range skipping on point lookups.
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         (
             df.repartition(nparts, BUCKET_COL)
+            .sortWithinPartitions(BUCKET_COL, key)
             .write.mode("errorifexists")
             .partitionBy(BUCKET_COL)
             .parquet(out)
         )
-        metas: list[DataFileMeta] = []
-        for entry in sorted(os.listdir(out)):
-            if not entry.startswith(f"{BUCKET_COL}="):
-                continue
-            bucket = int(entry.split("=")[1])
-            bdir = os.path.join(out, entry)
+        entries = [
+            (int(e.split("=")[1]), os.path.join(out, e))
+            for e in sorted(os.listdir(out))
+            if e.startswith(f"{BUCKET_COL}=")
+        ]
+        fpaths = []
+        for bucket, bdir in entries:
             for fn in sorted(os.listdir(bdir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                fpath = os.path.join(bdir, fn)
-                rows, kmin, kmax = _footer_stats(fpath, key)
-                metas.append(
-                    DataFileMeta(
-                        path=os.path.relpath(fpath, self.root),
-                        bucket=bucket,
-                        rows=rows,
-                        min_key=kmin,
-                        max_key=kmax,
-                        schema_version=schema_version,
-                    )
-                )
-        return metas
+                if fn.endswith(".parquet"):
+                    fpaths.append((bucket, os.path.join(bdir, fn)))
+        # footer harvesting is metadata-only but file-count-bound: do it in
+        # a thread pool (I/O-released GIL in pyarrow) instead of serially.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _one(item):
+            bucket, fpath = item
+            rows, kmin, kmax = _footer_stats(fpath, key)
+            return DataFileMeta(
+                path=os.path.relpath(fpath, self.root),
+                bucket=bucket,
+                rows=rows,
+                min_key=kmin,
+                max_key=kmax,
+                schema_version=schema_version,
+                sequence=version,
+            )
+
+        if len(fpaths) <= 2:
+            return [_one(it) for it in fpaths]
+        with ThreadPoolExecutor(max_workers=min(32, len(fpaths))) as pool:
+            return list(pool.map(_one, fpaths))
 
     def commit(
         self,

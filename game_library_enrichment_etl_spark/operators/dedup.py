@@ -13,8 +13,12 @@ Five families, each a first-class operator with a DuckDB-expressible spec:
 
 Scale notes: every family is (blocking-key shuffle + within-block pairs) —
 no global cross join anywhere. At 100 TB the band/bucket keys ARE the
-partitioning keys; hot buckets (boilerplate pages) can be salted or capped
-(cap the per-bucket candidate list; log what was dropped).
+partitioning keys. Pathologically hot LSH buckets (boilerplate pages: one
+band value shared by millions of docs -> quadratic candidates in one task)
+are handled by ``band_cap``: buckets larger than the cap are EXCLUDED from
+pair generation and the drop is logged + returned (never silent). Docs in
+a dropped bucket still pair through their other bands, and near-exact
+boilerplate groups are better caught by exact_dedup first anyway.
 
 Reference precursors: full-row/subset dedup (A4/A5,
 /root/reference/src/how_long_to_beat.py:207,373;
@@ -27,10 +31,14 @@ DuckDB oracle reproduces every value exactly.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, token_hash, tokens
+
+logger = logging.getLogger(__name__)
 
 
 # ----------------------------------------------------------------- exact
@@ -115,6 +123,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    band_cap: int | None = None,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, jaccard-verified.
 
@@ -122,6 +132,14 @@ def minhash_lsh_pairs(
     (the ONLY join; band key is the shuffle key) -> distinct candidate
     pairs -> exact jaccard over distinct shingle sets -> threshold.
     Returns (key_a, key_b, jaccard) with key_a < key_b.
+
+    ``band_cap``: hot-band guard for boilerplate-skewed corpora. A band
+    bucket with more than ``band_cap`` members would contribute O(n^2)
+    candidate pairs in a single shuffle partition; such buckets are
+    excluded from pair generation, and the exclusion is LOGGED (bucket
+    count + total member rows dropped) and recorded into ``drop_stats``
+    when a dict is passed — no silent truncation. Costs one extra skinny
+    aggregation job over (k, band) rows when enabled.
     """
     rows_per_band = n_hashes // bands
     # parallelize the md5-heavy signature stage even when the input is a
@@ -153,6 +171,28 @@ def minhash_lsh_pairs(
     banded = hashed.select(F.col("k"), sig.alias("sig")).select(
         "k", F.explode(band_keys).alias("band")
     )
+    if band_cap is not None:
+        sizes = banded.groupBy("band").agg(F.count(F.lit(1)).alias("_bn"))
+        hot = sizes.where(F.col("_bn") > band_cap)
+        # one skinny action to surface what the cap drops (never silent)
+        hot_rows = hot.agg(
+            F.count(F.lit(1)).alias("hot_bands"),
+            F.coalesce(F.sum("_bn"), F.lit(0)).alias("rows_in_hot_bands"),
+        ).collect()[0]
+        stats = {
+            "band_cap": band_cap,
+            "hot_bands_dropped": int(hot_rows["hot_bands"]),
+            "rows_in_dropped_bands": int(hot_rows["rows_in_hot_bands"]),
+        }
+        if drop_stats is not None:
+            drop_stats.update(stats)
+        if stats["hot_bands_dropped"]:
+            logger.warning(
+                "minhash_lsh_pairs: band_cap=%d dropped %d hot band(s) "
+                "covering %d (k, band) rows from pair generation",
+                band_cap, stats["hot_bands_dropped"], stats["rows_in_dropped_bands"],
+            )
+        banded = banded.join(F.broadcast(hot.select("band")), "band", "left_anti")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), "band")

@@ -66,13 +66,17 @@ def _lww_skinny(df: DataFrame, key: str, order_cols: tuple[str, ...]) -> DataFra
     """
     ver = _ver(order_cols)
     keys = df.groupBy(key).agg(F.max(ver).alias("_v"))
+    # eqNullSafe throughout: groupBy treats NULL as a regular grouping value
+    # (and max(struct) can surface NULL version components), so the fetch
+    # join must too — plain equality would silently drop any key whose
+    # winning row has a NULL version column, diverging from agg/window.
     fetched = (
         df.alias("l")
         .join(
             keys.hint("SHUFFLE_HASH").alias("r"),
-            on=[F.col(f"l.{key}") == F.col(f"r.{key}")]
+            on=[F.col(f"l.{key}").eqNullSafe(F.col(f"r.{key}"))]
             + [
-                F.col(f"l.{c}") == F.col(f"r._v.{c}") for c in order_cols
+                F.col(f"l.{c}").eqNullSafe(F.col(f"r._v.{c}")) for c in order_cols
             ],
         )
         .select("l.*")

@@ -5,15 +5,21 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas iterators over ``mapInPandas`` (per-partition batch streaming — the
 right shape for 100 TB: no driver collect, bounded memory per batch).
 
-The actual media codecs are NOT in this container, so the decode kernels
-are STUBBED with a clearly-marked deterministic fake (byte-arithmetic) —
-the Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
-shape) is real and tested. Swap ``_fake_decode`` for PIL/ffmpeg in a real
-deployment.
+Decoding levels:
+- ``parse_image_header`` — a REAL pure-Python container-format parser for
+  PNG / GIF / JPEG / BMP headers (from the public format specs): true
+  width/height + codec name, no external libs. This is what the decode
+  stage uses whenever the blob is an actual image.
+- ``_fake_decode`` — the clearly-marked deterministic fallback for blobs
+  that are not parseable images (the synthetic testdata), so the pipeline
+  shape stays exercised end-to-end.
+- full pixel decode (``real=True``) needs PIL/ffmpeg, absent in this
+  container -> NotImplementedError by design.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -31,13 +37,61 @@ DECODE_SCHEMA = T.StructType(
     ]
 )
 
-REAL_DECODER_AVAILABLE = False  # no PIL/ffmpeg in this container
+REAL_DECODER_AVAILABLE = False  # no PIL/ffmpeg in this container (pixel decode)
+
+
+def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
+    """Parse (codec, width, height) from real image container headers.
+
+    Pure-Python readers for the public container formats:
+    - PNG:  8-byte signature, then the IHDR chunk holds BE width/height
+    - GIF:  'GIF87a'/'GIF89a' signature, then LE logical screen w/h
+    - BMP:  'BM' + BITMAPINFOHEADER LE width/height at offsets 18/22
+    - JPEG: scan segment markers to the first SOFn frame header (BE h, w)
+
+    Returns None when the blob is not a recognized image — callers fall
+    back to the deterministic stub so non-image payloads keep flowing.
+    """
+    if blob is None or len(blob) < 16:
+        return None
+    if blob[:8] == b"\x89PNG\r\n\x1a\n" and blob[12:16] == b"IHDR" and len(blob) >= 24:
+        w, h = struct.unpack(">II", blob[16:24])
+        return ("png", w, h)
+    if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+        w, h = struct.unpack("<HH", blob[6:10])
+        return ("gif", w, h)
+    if blob[:2] == b"BM" and len(blob) >= 26:
+        w, h = struct.unpack("<ii", blob[18:26])
+        return ("bmp", w, abs(h))  # negative height = top-down rows
+    if blob[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to a frame header
+        i = 2
+        n = len(blob)
+        while i + 4 <= n:
+            if blob[i] != 0xFF:
+                return None
+            marker = blob[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload
+                i += 2
+                continue
+            if i + 4 > n:
+                return None
+            seg_len = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+            # SOF0..SOF15 except DHT(C4)/DAC(CC)/RST: frame header with dims
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                h, w = struct.unpack(">HH", blob[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    return None
 
 
 def _fake_decode(blob: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for an image decode: pretends the byte length
-    encodes dimensions and the first 32 bytes are an 8-dim feature vector.
-    STUB — replace with a real codec; raises if asked for real decoding."""
+    """Deterministic stand-in for decoding NON-image blobs: pretends the
+    byte length encodes dimensions and the first 32 bytes are an 8-dim
+    feature vector. STUB by design — real images never reach it (the
+    header parser above handles them)."""
     n = len(blob)
     width = 64 + (n % 577)
     height = 64 + ((n * 31) % 433)
@@ -57,12 +111,22 @@ def decode_binary_column(
             "container; run with real=False for the deterministic stub"
         )
 
+    def _decode_one(b) -> tuple:
+        if b is None:
+            return (None, None, None)
+        bb = bytes(b)
+        hdr = parse_image_header(bb)
+        if hdr is not None:  # real container format: true dimensions
+            _, w, h = hdr
+            head = np.frombuffer(bb[:32].ljust(32, b"\0"), dtype=np.uint8).astype(np.float32)
+            feats = head.reshape(8, 4).mean(axis=1) / 255.0
+            return (w, h, [float(round(x, 6)) for x in feats])
+        return _fake_decode(bb)
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf[blob_col]
-            decoded = [
-                (None, None, None) if b is None else _fake_decode(bytes(b)) for b in blobs
-            ]
+            decoded = [_decode_one(b) for b in blobs]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

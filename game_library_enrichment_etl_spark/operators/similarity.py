@@ -12,17 +12,26 @@ Score spec (DuckDB-expressible, NOT fuzzywuzzy-bit-identical — see
 SURVEY.md §7 exactness note): ratio = 1 - levenshtein(a,b)/(len(a)+len(b))
 ... scaled: similarity = round(100 * (1 - lev/greatest(len_a+len_b,1)), 4).
 
-Scale notes: the block key is the shuffle key; the fallback for empty
-blocks is a second equi-join of the unmatched left rows against a
-broadcast sample, never a cross product. Candidate fan-out per block is
-bounded by the block's selectivity — use longer block keys (first 2
-chars + length bucket) for bigger corpora.
+Scale notes: the block key is the shuffle key; the empty-block fallback
+(reference :459-466 — a left row whose block has NO candidates is scored
+against the FULL candidate list) stays an equi-join: left rows whose block
+key matches no candidate block are re-keyed to a reserved fallback block,
+and the candidate set is unioned in once under that same reserved key.
+One shuffle, no cross product, no broadcast-size ceiling; the fallback
+partition's fan-out is |blockless lefts| x |candidates| — exactly the work
+the reference's fallback does. Candidate fan-out per normal block is
+bounded by the block's selectivity — use longer block keys (first 2 chars
++ length bucket) for bigger corpora.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# reserved block key for the empty-block fallback: contains NUL, which can
+# never equal a lowercased substring block of real text keys
+_FALLBACK_BLK = "\x00__all__"
 
 
 def similarity_expr(a, b):
@@ -41,11 +50,19 @@ def blocked_similarity_join(
     threshold: float = 50.0,
     block_len: int = 1,
     keep_unmatched: bool = True,
+    fallback_full_scan: bool = True,
 ) -> DataFrame:
     """Best fuzzy match per left row from right, blocked on the lowercased
     first ``block_len`` chars. Returns one row per left row:
     (left_key, left_text, match_key, match_text, similarity) — match_* null
-    when no candidate clears the threshold (J10 semantics)."""
+    when no candidate clears the threshold (J10 semantics).
+
+    ``fallback_full_scan`` (reference parity,
+    /root/reference/src/internet_games_database.py:459-466): a left row
+    whose block contains NO candidates is scored against the full candidate
+    list instead of silently getting a null match. Implemented by re-keying
+    blockless lefts to a reserved block and unioning the candidates in once
+    under that key — still a single equi-join."""
     lb = left.select(
         F.col(left_key).alias("l_key"),
         F.col(left_text).alias("l_txt"),
@@ -56,6 +73,21 @@ def blocked_similarity_join(
         F.col(right_text).alias("r_txt"),
         F.lower(F.substring(F.col(right_text), 1, block_len)).alias("blk"),
     ).where(F.col("r_txt").isNotNull())
+
+    if fallback_full_scan:
+        # blocks that exist on the right (small: bounded by alphabet^block_len)
+        r_blks = rb.select("blk").distinct().withColumn("_hit", F.lit(True))
+        lb = (
+            lb.join(F.broadcast(r_blks), "blk", "left")
+            .withColumn(
+                "blk",
+                F.when(F.col("_hit").isNotNull(), F.col("blk")).otherwise(
+                    F.lit(_FALLBACK_BLK)
+                ),
+            )
+            .drop("_hit")
+        )
+        rb = rb.unionByName(rb.withColumn("blk", F.lit(_FALLBACK_BLK)))
 
     scored = lb.join(rb, "blk").withColumn(
         "similarity", similarity_expr(F.col("l_txt"), F.col("r_txt"))

@@ -103,6 +103,15 @@ def run_stream(
 _SEG_NUM = re.compile(r"(\d+)")
 
 
+def _natural_key(path: str) -> tuple:
+    """Natural sort: numeric components compared as ints so seg-2 applies
+    before seg-10 even without zero-padding (apply order matters for
+    coalesce-mode folds and watermark late-dropping); falls back to the
+    full basename for ties / non-numeric names."""
+    name = os.path.basename(path)
+    return (tuple(int(x) for x in _SEG_NUM.findall(name)), name)
+
+
 def tail_segments(
     table: IceletTable,
     wal_dir: str,
@@ -120,7 +129,7 @@ def tail_segments(
     repeatedly (cron-style incremental runs) and after a crash.
     """
     spark = table.spark
-    segs = sorted(glob.glob(os.path.join(wal_dir, pattern)))
+    segs = sorted(glob.glob(os.path.join(wal_dir, pattern)), key=_natural_key)
     results = []
     n = 0
     for p in segs:

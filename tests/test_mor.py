@@ -1,0 +1,132 @@
+"""Merge-on-read strategy: O(batch) writes, read-time LWW resolution,
+cow-equivalence, bounded write amplification, compaction fold, and the
+CREATE OR REPLACE full-replay verb (SURVEY.md §4 custom-3; VERDICT r1 #2/#9)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from game_library_enrichment_etl_spark.cdc.apply import apply_batch
+from game_library_enrichment_etl_spark.cdc.tables import PAGES_SCHEMA, create_pages_table
+from game_library_enrichment_etl_spark.datagen import gen_change_events, write_change_segments
+from game_library_enrichment_etl_spark.lake.maintenance import compact
+from game_library_enrichment_etl_spark.lake.table import IceletTable
+
+
+def _state(table) -> pd.DataFrame:
+    return (
+        table.read()
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+        .sort_index(axis=1)
+    )
+
+
+def _apply_all(spark, table, paths):
+    for p in paths:
+        res = apply_batch(table, spark.read.parquet(p))
+        assert not res.skipped
+    return table
+
+
+def test_mor_equals_cow_final_state(spark, tmp_path):
+    ev = gen_change_events(2000, 250, seed=7)
+    paths = write_change_segments(str(tmp_path / "wal"), ev, 5)
+
+    cow = _apply_all(spark, create_pages_table(spark, str(tmp_path / "cow"), n_buckets=4), paths)
+    mor = _apply_all(
+        spark,
+        create_pages_table(spark, str(tmp_path / "mor"), n_buckets=4, merge_strategy="mor"),
+        paths,
+    )
+    s_cow, s_mor = _state(cow), _state(mor)
+    assert len(s_cow) == len(s_mor)
+    pd.testing.assert_frame_equal(s_cow, s_mor)
+
+
+def test_mor_write_amplification_bounded(spark, tmp_path):
+    """A batch touching ~1% of keys must append ~that many rows of new data
+    files — never a rewrite proportional to the table (the r1 scale-killer)."""
+    ev = gen_change_events(4000, 1000, seed=11)
+    paths = write_change_segments(str(tmp_path / "wal"), ev, 2)
+    table = create_pages_table(spark, str(tmp_path / "t"), n_buckets=8, merge_strategy="mor")
+    _apply_all(spark, table, paths)
+    before = table.snapshot()
+    stored_before = before.total_rows()
+
+    # a tiny follow-up batch: 10 keys out of 1000
+    small = gen_change_events(10, 10, seed=99, start_lsn=10_000_000)
+    small_paths = write_change_segments(str(tmp_path / "wal2"), small, 1, first_batch_id=50)
+    apply_batch(table, spark.read.parquet(small_paths[0]))
+
+    after = table.snapshot()
+    new_files = [f for f in after.files if f.sequence == after.version]
+    new_rows = sum(f.rows for f in new_files)
+    assert new_rows <= 10, f"appended {new_rows} rows for a 10-key batch"
+    # nothing was rewritten: every pre-existing file carried forward
+    prev_paths = {f.path for f in before.files}
+    assert prev_paths <= {f.path for f in after.files}
+    assert after.total_rows() == stored_before + new_rows
+
+
+def test_mor_compaction_folds_and_preserves_state(spark, tmp_path):
+    ev = gen_change_events(3000, 300, seed=23)
+    paths = write_change_segments(str(tmp_path / "wal"), ev, 6)
+    table = create_pages_table(spark, str(tmp_path / "t"), n_buckets=4, merge_strategy="mor")
+    _apply_all(spark, table, paths)
+
+    before = _state(table)
+    snap = table.snapshot()
+    per_bucket = {}
+    for f in snap.files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert max(per_bucket.values()) > 1  # deltas actually accumulated
+
+    m = compact(table, expire_tombstones=False)
+    assert m["buckets"] > 0
+    snap2 = table.snapshot()
+    per_bucket2 = {}
+    for f in snap2.files:
+        per_bucket2[f.bucket] = per_bucket2.get(f.bucket, 0) + 1
+    assert max(per_bucket2.values()) == 1  # resolution-free reads from here
+    pd.testing.assert_frame_equal(before, _state(table))
+
+
+def test_mor_replay_is_idempotent(spark, tmp_path):
+    ev = gen_change_events(1000, 100, seed=5)
+    paths = write_change_segments(str(tmp_path / "wal"), ev, 2)
+    table = create_pages_table(spark, str(tmp_path / "t"), n_buckets=4, merge_strategy="mor")
+    _apply_all(spark, table, paths)
+    state = _state(table)
+    v = table.snapshot().version
+    res = apply_batch(table, spark.read.parquet(paths[0]))  # replay seg 0
+    assert res.skipped
+    assert table.snapshot().version == v
+    pd.testing.assert_frame_equal(state, _state(table))
+
+
+def test_create_or_replace_resets_and_keeps_history(spark, tmp_path):
+    ev = gen_change_events(800, 120, seed=3)
+    paths = write_change_segments(str(tmp_path / "wal"), ev, 2)
+    table = create_pages_table(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply_all(spark, table, paths)
+    state1 = _state(table)
+    v_old = table.snapshot().version
+    assert len(state1) > 0
+
+    # destructive reset: empty table, cleared markers, prior snapshots intact
+    table = IceletTable.create_or_replace(
+        spark, str(tmp_path / "t"), PAGES_SCHEMA, key_col="url",
+        version_cols=("warc_ts", "lsn"), n_buckets=4,
+    )
+    snap = table.snapshot()
+    assert snap.version == v_old + 1
+    assert snap.files == [] and snap.applied_batch_ids == []
+    assert table.read().count() == 0
+    # time travel to the pre-replace snapshot still works
+    assert table.read(version=v_old).count() == len(state1)
+
+    # full replay reproduces the original state (replay equivalence)
+    _apply_all(spark, table, paths)
+    pd.testing.assert_frame_equal(state1, _state(table))

@@ -8,13 +8,14 @@ from pyspark.sql import functions as F
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _optimized(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
+from game_library_enrichment_etl_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_partial_agg,
+    assert_pushed_filter,
+    executed_plan,
+    optimized_plan,
+)
 
 
 def test_filter_pushdown_and_column_pruning(spark):
@@ -23,9 +24,9 @@ def test_filter_pushdown_and_column_pruning(spark):
         .where(F.col("l_shipdate") < "1996-01-01")
         .select("l_orderkey", "l_extendedprice")
     )
-    plan = _plan(df)
-    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    assert_pushed_filter(df, "LessThan(l_shipdate")
     # scan reads only the 3 referenced columns
+    plan = executed_plan(df)
     assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_shipdate" in plan
 
 
@@ -33,7 +34,7 @@ def test_broadcast_join_for_small_dim(spark):
     orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    assert "BroadcastHashJoin" in _plan(j)
+    assert_broadcast_join(j)
 
 
 def test_lww_agg_is_partially_aggregated(spark):
@@ -45,8 +46,7 @@ def test_lww_agg_is_partially_aggregated(spark):
         F.col("ts").cast("timestamp").alias("warc_ts"),
         F.col("event_id").alias("lsn"),
     )
-    plan = _plan(lww_dedup(ev, "url", ("warc_ts", "lsn")))
-    assert "partial_max_by" in plan
+    assert_partial_agg(lww_dedup(ev, "url", ("warc_ts", "lsn")), "partial_max_by")
 
 
 def test_semi_anti_joins_planned(spark):
@@ -56,13 +56,14 @@ def test_semi_anti_joins_planned(spark):
     )
     semi = cust.join(orders, "c_custkey", "left_semi")
     anti = cust.join(orders, "c_custkey", "left_anti")
-    assert "LeftSemi" in _optimized(semi)
-    assert "LeftAnti" in _optimized(anti)
+    assert "LeftSemi" in optimized_plan(semi)
+    assert "LeftAnti" in optimized_plan(anti)
 
 
 def test_cosine_topk_broadcasts_queries(spark):
     from game_library_enrichment_etl_spark.operators.ann import cosine_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    plan = _plan(cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=2))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    q = cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=2)
+    assert_broadcast_join(q)
+    assert_no_cartesian(q)
