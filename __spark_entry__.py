@@ -397,6 +397,32 @@ FROM part
 """
 
 
+def _conditional_rewrite(spark, sf):
+    """P7/P8 — conditional string rewrite + flag from substring (reference:
+    startswith-rewrite and contains-flag columns,
+    /root/reference/src/internet_games_database.py:235-241,600-614)."""
+    part = _t(spark, sf, "part")
+    name = F.col("p_name")
+    rewritten = F.when(
+        name.startswith("a"), F.concat(F.lit("anon:"), F.substring(name, 2, 1000))
+    ).otherwise(name)
+    return part.select(
+        "p_partkey",
+        rewritten.alias("rewritten_name"),
+        name.contains("green").cast("int").alias("is_green"),
+    )
+
+
+_P7_SQL = """
+SELECT p_partkey,
+       CASE WHEN starts_with(p_name, 'a')
+            THEN 'anon:' || substr(p_name, 2)
+            ELSE p_name END AS rewritten_name,
+       contains(p_name, 'green')::INT AS is_green
+FROM part
+"""
+
+
 def _null_safe_filter(spark, sf):  # P3/P4 — negated contains, null-safe
     docs = _t(spark, sf, "documents")
     keep = ~F.coalesce(F.col("text").contains("data"), F.lit(False))
@@ -1101,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_map_category": _case_map_category,
         "name_clean": _name_clean,
         "null_safe_filter": _null_safe_filter,
+        "conditional_rewrite": _conditional_rewrite,
         "null_count_rank": _null_count_rank,
         "year_derive": _year_derive,
         "topk_per_group": _topk_per_group,
@@ -1148,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "case_map_category": _P12_SQL,
         "name_clean": _P2_SQL,
         "null_safe_filter": _P3_SQL,
+        "conditional_rewrite": _P7_SQL,
         "null_count_rank": _P13_SQL,
         "year_derive": _P6_SQL,
         "topk_per_group": _O2_SQL,

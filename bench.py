@@ -40,6 +40,13 @@ def bench_cdc_apply(spark, sf_dir: str, n_segments: int = 8, strategy: str = "mo
     )
     n_events = stream.count()
     root = tempfile.mkdtemp(prefix="icelet_bench_")
+    # warm the full pipeline (codegen JIT, python UDF workers, writer) on a
+    # small slice into a throwaway table so the timed loop measures the
+    # engine, not first-batch JIT
+    wtable = create_pages_table(
+        spark, os.path.join(root, "warm"), n_buckets=32, merge_strategy=strategy
+    )
+    apply_batch(wtable, stream.where(F.col("batch_id") == 0).limit(5000))
     table = create_pages_table(
         spark, os.path.join(root, "pages"), n_buckets=32, merge_strategy=strategy
     )
@@ -48,8 +55,16 @@ def bench_cdc_apply(spark, sf_dir: str, n_segments: int = 8, strategy: str = "mo
         apply_batch(table, stream.where(F.col("batch_id") == b))
     dt = time.monotonic() - t0
     rows = table.snapshot().total_rows()
+    # read amplification is not hidden: time a full post-apply table read
+    # (under mor this pays the LWW resolution that cow prepaid at write)
+    t1 = time.monotonic()
+    live_rows = table.read().count()
+    read_sec = time.monotonic() - t1
     shutil.rmtree(root, ignore_errors=True)
-    return {"sec": dt, "events": n_events, "events_per_sec": n_events / dt, "rows": rows}
+    return {
+        "sec": dt, "events": n_events, "events_per_sec": n_events / dt,
+        "rows": rows, "live_rows": live_rows, "read_after_sec": round(read_sec, 3),
+    }
 
 
 HEADLINE = [
@@ -62,7 +77,10 @@ HEADLINE = [
     "exact_dedup_docs",
     "minhash_lsh_pairs",
     "simhash_docs",
+    "simhash_pairs",
+    "low_similarity_report",
     "ngram_jaccard_sample",  # see _EXTRA below
+    "ngram_jaccard_full",  # the unsampled operator (see _EXTRA)
     "embedding_topk_cosine",
     "embedding_srp_ann",
     "lang_id_docs",
@@ -87,7 +105,22 @@ def _ngram_jaccard_sample(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=5, threshold=0.7)
 
 
-_EXTRA = {"ngram_jaccard_sample": _ngram_jaccard_sample}
+def _ngram_jaccard_full(spark, sf_dir):
+    """The UNSAMPLED ngram operator over the full documents table (r1
+    verdict asked the headline suite to measure it, not just the 20%
+    sample). The corpus's ~100-word vocabulary makes true-similar pair
+    density quadratic (~70s at sf0.1 vs ~9s for the 20% sample — a corpus
+    property, not an operator regression: every surviving candidate is a
+    genuine >=0.7-jaccard pair that any exact algorithm must verify)."""
+    import __spark_entry__ as E
+
+    return E._ngram_jaccard_pairs(spark, sf_dir)
+
+
+_EXTRA = {
+    "ngram_jaccard_sample": _ngram_jaccard_sample,
+    "ngram_jaccard_full": _ngram_jaccard_full,
+}
 
 
 def main() -> None:
@@ -129,6 +162,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "events_per_sec": round(cdc["events_per_sec"], 1),
                 "events_per_sec_cow": round(cdc_cow["events_per_sec"], 1),
+                "mor_read_after_sec": cdc["read_after_sec"],
+                "cow_read_after_sec": cdc_cow["read_after_sec"],
                 "cdc_events": cdc["events"],
                 "cpus": int(cpus),
             }

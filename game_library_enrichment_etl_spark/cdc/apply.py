@@ -166,7 +166,12 @@ def apply_batch(
     if mode == "coalesce":
         winners = _fold_partial_updates(normalized, key, order_cols)
     else:
-        winners = lww_dedup(normalized, key, order_cols, strategy=dedup_strategy)
+        # unique_versions: a WAL's lsn is a unique sequence number (north
+        # star contract), so (key, warc_ts, lsn) is unique per batch; the
+        # mor path re-verifies this post-write against the manifest counts
+        winners = lww_dedup(
+            normalized, key, order_cols, strategy=dedup_strategy, unique_versions=True
+        )
     if not touched:  # nothing survived late-drop/replay: commit markers only
         new_snap = table.commit([], set(), new_ids, cur if evo.changed else None,
                                 _wm_update(wm_us, max_ts, lateness_s))
@@ -174,18 +179,6 @@ def apply_batch(
         _append_lineage(table.root, seg_stats, metrics, new_snap.version)
         return ApplyResult(False, new_snap.version, metrics, seg_stats)
 
-    # engine-computed columns (text from html) are extracted on the batch
-    # WINNERS only — never on carried-forward target rows (python UDFs are
-    # evaluated eagerly for every input row, so computing them inside the
-    # merge would re-extract the whole touched table every batch). Their
-    # nullness mirrors the source column's, so they merge as plain payload
-    # under both modes. Winners flow into exactly one action (the write),
-    # so the extraction runs exactly once without any persist.
-    for cname, src_col in computed.items():
-        winners = winners.withColumn(
-            cname,
-            F.when(F.col(OP_COL) != "D", extract_text_udf(F.col(src_col))),
-        )
     # ---- action 2: winner/delete counts over the SKINNY projection only
     # (key, version, op — Catalyst prunes html out of the scan; map-side
     # combinable two-level aggregation, so it is shuffle-light at any scale)
@@ -202,11 +195,22 @@ def apply_batch(
     n_winners, n_deletes = int(wrow["n"]), int(wrow["n_del"] or 0)
     _mark("t_winner_stats")
 
+    # engine-computed columns (text from html) are extracted on the batch
+    # WINNERS only — never on carried-forward target rows (python UDFs are
+    # evaluated eagerly for every input row, so computing them inside the
+    # merge would re-extract the whole touched table every batch). Their
+    # nullness mirrors the source column's, so they merge as plain payload
+    # under both modes. Winners flow into exactly one action (the write),
+    # so the extraction runs exactly once without any persist. Under mor
+    # the extraction is additionally deferred PAST the bucket shuffle
+    # (write_data_files post_shuffle), so extracted text bytes are never
+    # shuffled or sorted.
     use_mor = (
         table.merge_strategy == "mor"
         and mode == "overwrite"
         and DELETED_COL in cur.names()
     )
+    post_shuffle = None
     if use_mor:
         # ---- merge-on-read: APPEND the winners as delta files (deletes as
         # tombstone rows); no target read, no join — O(batch) per batch.
@@ -214,6 +218,8 @@ def apply_batch(
         out_cols = []
         is_del = F.col(OP_COL) == "D"
         for f in cur.fields:
+            if f.name in computed:
+                continue  # extracted post-shuffle
             if f.name == DELETED_COL:
                 out_cols.append(is_del.alias(DELETED_COL))
             elif f.name in (key, *order_cols):
@@ -226,10 +232,27 @@ def apply_batch(
                 )
         out = winners.select(*out_cols)
         replaced: set[int] = set()
+        if computed:
+            types = {f.name: f.type for f in cur.fields}
+
+            def post_shuffle(staged):
+                for cname, src_col in computed.items():
+                    staged = staged.withColumn(
+                        cname,
+                        F.when(
+                            ~F.col(DELETED_COL), extract_text_udf(F.col(src_col))
+                        ).cast(types[cname]),
+                    )
+                return staged
     else:
         # ---- copy-on-write MERGE as a single full-outer join against the
         # bucket-pruned target (tombstones included: a stale replayed event
         # must lose to a newer D; target projected to the evolved schema)
+        for cname, src_col in computed.items():
+            winners = winners.withColumn(
+                cname,
+                F.when(F.col(OP_COL) != "D", extract_text_udf(F.col(src_col))),
+            )
         winners = winners.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
         target = table.read(buckets=touched, include_deleted=True, as_schema=cur)
         out = _merge(target, winners, key, order_cols, cur, computed, mode)
@@ -238,8 +261,22 @@ def apply_batch(
     out = out.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
 
     # ---- action 3: write per-bucket files; commit snapshot atomically
-    files = table.write_data_files(out, snap.version + 1, cur.version)
+    files = table.write_data_files(
+        out, snap.version + 1, cur.version, post_shuffle=post_shuffle
+    )
     _mark("t_merge_write")
+    if use_mor:
+        # integrity check for the unique_versions fast path: the delta files
+        # must hold exactly one row per winner key. A mismatch means the WAL
+        # violated lsn uniqueness (same (key, version), different payloads)
+        # — fail before commit rather than corrupt read-time resolution.
+        written = sum(f.rows for f in files)
+        if written != n_winners:
+            raise RuntimeError(
+                f"WAL integrity violation: {written} rows written for "
+                f"{n_winners} winner keys — duplicate (key, warc_ts, lsn) "
+                "versions in one batch; lsn must be a unique sequence number"
+            )
     new_snap = table.commit(
         files, replaced, new_ids,
         cur if evo.changed else None,

@@ -234,8 +234,13 @@ class IceletTable:
             from ..operators.lww import lww_dedup
 
             order = tuple(snap.properties["version_cols"]) + ("_seq",)
+            # each data file holds at most one row per (key, version) — the
+            # apply wrote LWW winners — and _seq disambiguates across files,
+            # so (key, order) is unique and the dropDuplicates guard would
+            # only re-shuffle payload bytes for nothing
             out = lww_dedup(
-                out, snap.properties["key"], order, strategy="skinny"
+                out, snap.properties["key"], order, strategy="skinny",
+                unique_versions=True,
             ).drop("_seq")
         if DELETED_COL in cur.names() and not include_deleted:
             out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
@@ -255,7 +260,11 @@ class IceletTable:
 
     # ----------------------------------------------------------------- write
     def write_data_files(
-        self, df: DataFrame, version: int, schema_version: int
+        self,
+        df: DataFrame,
+        version: int,
+        schema_version: int,
+        post_shuffle=None,
     ) -> list[DataFileMeta]:
         """Write ``df`` (current-schema columns + ``_bucket``) as immutable
         per-bucket parquet files under a per-attempt unique directory
@@ -267,6 +276,12 @@ class IceletTable:
         references, and the retried apply writes a fresh directory instead of
         colliding with the orphan (manifest entries record exact paths, so
         readers never glob).
+
+        ``post_shuffle``: optional DataFrame->DataFrame projection applied
+        AFTER the bucket repartition + sort, immediately before the file
+        write. Used to defer expensive derived columns (the html->text
+        Arrow UDF) past the exchange, so their output bytes are never
+        shuffled or sorted — at web scale that is ~40% of the row.
         """
         key = self.key_col
         rel_dir = os.path.join("data", f"v{version}-{uuid.uuid4().hex[:8]}")
@@ -276,10 +291,11 @@ class IceletTable:
         # rows sorted by key within each file so parquet row-group stats
         # enable key-range skipping on point lookups.
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        staged = df.repartition(nparts, BUCKET_COL).sortWithinPartitions(BUCKET_COL, key)
+        if post_shuffle is not None:
+            staged = post_shuffle(staged)
         (
-            df.repartition(nparts, BUCKET_COL)
-            .sortWithinPartitions(BUCKET_COL, key)
-            .write.mode("errorifexists")
+            staged.write.mode("errorifexists")
             .partitionBy(BUCKET_COL)
             .parquet(out)
         )

@@ -37,8 +37,17 @@ def lww_dedup(
     order_cols: tuple[str, ...] = ("warc_ts", "lsn"),
     strategy: str = "agg",
     n_salts: int = 16,
+    unique_versions: bool = False,
 ) -> DataFrame:
-    """One row per ``key``: the max-(order_cols) row. Column set preserved."""
+    """One row per ``key``: the max-(order_cols) row. Column set preserved.
+
+    ``unique_versions`` (skinny strategy only): declare that (key,
+    order_cols) is unique in ``df`` — true for any WAL where the last order
+    column is a log sequence number (the north-star contract). Skips the
+    full-row dropDuplicates guard, which would otherwise shuffle + hash-agg
+    every payload byte a second time; callers that can't guarantee
+    uniqueness keep the default False.
+    """
     if strategy == "agg":
         return _lww_agg(df, key, order_cols)
     if strategy == "window":
@@ -46,23 +55,31 @@ def lww_dedup(
     if strategy == "salted":
         return _lww_salted(df, key, order_cols, n_salts)
     if strategy == "skinny":
-        return _lww_skinny(df, key, order_cols)
+        return _lww_skinny(df, key, order_cols, unique_versions)
     raise ValueError(f"unknown strategy {strategy!r}; want one of {STRATEGIES}")
 
 
-def _lww_skinny(df: DataFrame, key: str, order_cols: tuple[str, ...]) -> DataFrame:
+def _lww_skinny(
+    df: DataFrame, key: str, order_cols: tuple[str, ...], unique_versions: bool = False
+) -> DataFrame:
     """Two-phase fat-payload dedup: (1) aggregate the max version over the
     SKINNY (key, order) projection — column pruning keeps payload bytes out
-    of the sort-aggregate buffers entirely; (2) shuffle-hash-join the
-    winning versions back against the full rows to fetch payloads (hash,
-    not sort-merge, so multi-KB payload rows are never sorted).
+    of the sort-aggregate buffers entirely; (2) SHUFFLE_HASH-join the
+    winning versions back against the full rows to fetch payloads. The
+    shuffled hash join is pinned deliberately: AQE would broadcast the
+    skinny build side, but a broadcast's collect-and-build is SERIAL driver
+    work (~seconds per million keys) that Amdahls the whole apply loop —
+    measured 0.67 scaling efficiency (2->8 cores) for broadcast vs 0.89 for
+    shuffle-hash on 1M-event batches. Hash, not sort-merge, so multi-KB
+    payload rows are never sorted.
 
     This is the scale default for web-page-sized payloads: max_by over a
     struct containing a binary column falls back to SortAggregate (hash
     aggregation needs mutable primitive buffers), which sorts every payload
     byte twice (partial + final). Equivalent output to every other
     strategy; the final dropDuplicates guards the pathological case of the
-    exact same (key, version) delivered twice in one batch.
+    exact same (key, version) delivered twice in one batch, and is skipped
+    when the caller declares versions unique (WAL lsn contract).
     """
     ver = _ver(order_cols)
     keys = df.groupBy(key).agg(F.max(ver).alias("_v"))
@@ -81,6 +98,8 @@ def _lww_skinny(df: DataFrame, key: str, order_cols: tuple[str, ...]) -> DataFra
         )
         .select("l.*")
     )
+    if unique_versions:
+        return fetched
     return fetched.dropDuplicates([key])
 
 
