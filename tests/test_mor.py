@@ -106,6 +106,44 @@ def test_mor_replay_is_idempotent(spark, tmp_path):
     pd.testing.assert_frame_equal(state, _state(table))
 
 
+def test_property_random_ops_mor_with_midstream_compaction(spark, tmp_path):
+    """Randomized I/U/D over hot keys applied under merge-on-read, with a
+    compaction in the MIDDLE of the stream — final state must still equal
+    the Python model replay (resolution-order independence)."""
+    import numpy as np
+    import pandas as pd
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from model_oracle import model_final_state
+
+    rng = np.random.default_rng(77)
+    n = 400
+    urls = [f"u{i}" for i in range(12)]
+    base = pd.Timestamp("2024-06-01")
+    rows = []
+    for lsn in range(n):
+        u = urls[rng.integers(len(urls))]
+        op = rng.choice(["I", "U", "D"], p=[0.2, 0.6, 0.2])
+        sec = int(rng.integers(0, 500))  # heavily out-of-order event time
+        html = None if op == "D" else f"<p>v{lsn}</p>".encode()
+        lang = None if op == "D" else "en"
+        rows.append((op, lsn, u, base + pd.Timedelta(seconds=sec), html, lang))
+    ev = pd.DataFrame(rows, columns=["op", "lsn", "url", "warc_ts", "html", "lang"])
+    ev["batch_id"] = rng.integers(0, 4, size=n)
+
+    table = create_pages_table(spark, str(tmp_path / "t"), n_buckets=4, merge_strategy="mor")
+    for b in range(4):
+        apply_batch(table, spark.createDataFrame(ev[ev["batch_id"] == b]))
+        if b == 1:
+            compact(table, expire_tombstones=False)
+
+    want = model_final_state(ev, payload_cols=("html", "lang"))
+    got = table.read().toPandas().sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["lsn"]) == list(want["lsn"])
+    assert list(got["text"]) == list(want["text"])
+
+
 def test_create_or_replace_resets_and_keeps_history(spark, tmp_path):
     ev = gen_change_events(800, 120, seed=3)
     paths = write_change_segments(str(tmp_path / "wal"), ev, 2)
