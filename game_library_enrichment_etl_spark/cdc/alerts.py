@@ -15,6 +15,7 @@ import json
 import logging
 import os
 import traceback
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -46,8 +47,11 @@ class AlertHook:
         try:
             adir = os.path.join(self.root, ALERTS_DIRNAME)
             os.makedirs(adir, exist_ok=True)
-            n = len(os.listdir(adir))
-            with open(os.path.join(adir, f"alert-{n:06d}.json"), "w") as fh:
+            # unique name, exclusive create: concurrent jobs sharing a table
+            # root (or a run after alert deletion) must never overwrite an
+            # earlier alert record (a directory-count index would collide)
+            name = f"alert-{uuid.uuid4().hex}.json"
+            with open(os.path.join(adir, name), "x") as fh:
                 json.dump(payload, fh)
         except Exception:
             logger.exception("alert file sink failed")

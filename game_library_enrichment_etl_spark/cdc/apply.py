@@ -22,26 +22,29 @@ Merge modes
 Scale notes (100 TB design)
 ---------------------------
 - Under the table's ``mor`` (merge-on-read) strategy the batch's winner
-  rows are APPENDED as delta files — per-batch write cost is O(batch),
-  never O(table); reads resolve LWW by (version, file sequence) and
+  rows are APPENDED as delta files via the fused single-shuffle path
+  (cdc/fused.py): ONE payload exchange (bucket repartition), a
+  partition-local sort, then one Arrow pass doing LWW winner selection +
+  tombstoning + text extraction — per-batch write cost is O(batch), never
+  O(table); reads resolve LWW by (version, file sequence) and
   ``lake.maintenance.compact`` folds buckets back to one file. Under
   ``cow`` the target side of the merge is pruned to the buckets the batch
   touches (manifest bucket ids) — merge cost is O(touched data).
-- LWW dedup uses partial-aggregable ``max_by`` (map-side combine), so hot
-  urls reduce before the shuffle; a ``salted`` two-phase strategy is
-  available for pathological keys (see operators/lww.py).
+- COW LWW dedup uses the skinny two-phase strategy (operators/lww.py);
+  hot urls reduce map-side; a ``salted`` strategy exists for pathological
+  keys.
 - Everything is DataFrame-API; the only Python execution is the
-  Arrow-vectorized html->text extractor (functions/extract.py).
+  Arrow-vectorized winner/extract pass (cdc/fused.py, functions/extract.py).
 - Exactly 3 actions per batch, only one of which touches payload bytes:
   (1) a skinny column-pruned stats pass (per WAL-partition offsets + the
-  touched bucket set), (2) a skinny winner-count aggregation (key/version/
-  op only — map-side combinable, no html, no UDF), (3) the write itself.
-  The html-bearing winner rows are computed exactly once inside the write
-  (no persist, no second pass over payloads). A ``DataFrame.observe``
-  design was rejected: ``Observation.get`` deadlocks when the apply runs
-  inside a Structured Streaming ``foreachBatch`` callback (the py4j
-  callback thread can't re-enter the JVM while the streaming engine waits
-  on it).
+  touched bucket set), (2) a skinny winner-count + WAL-integrity
+  aggregation (key/version/op only — map-side combinable, no html, no
+  UDF), (3) the write itself. The html-bearing winner rows are computed
+  exactly once inside the write (no persist, no second pass over
+  payloads). A ``DataFrame.observe`` design was rejected:
+  ``Observation.get`` deadlocks when the apply runs inside a Structured
+  Streaming ``foreachBatch`` callback (the py4j callback thread can't
+  re-enter the JVM while the streaming engine waits on it).
 """
 
 from __future__ import annotations
@@ -162,16 +165,6 @@ def apply_batch(
         )
     normalized = batch.select(*sel)
 
-    # ---- per-batch LWW dedup (conflicts resolved deterministically)
-    if mode == "coalesce":
-        winners = _fold_partial_updates(normalized, key, order_cols)
-    else:
-        # unique_versions: a WAL's lsn is a unique sequence number (north
-        # star contract), so (key, warc_ts, lsn) is unique per batch; the
-        # mor path re-verifies this post-write against the manifest counts
-        winners = lww_dedup(
-            normalized, key, order_cols, strategy=dedup_strategy, unique_versions=True
-        )
     if not touched:  # nothing survived late-drop/replay: commit markers only
         new_snap = table.commit([], set(), new_ids, cur if evo.changed else None,
                                 _wm_update(wm_us, max_ts, lateness_s))
@@ -181,7 +174,11 @@ def apply_batch(
 
     # ---- action 2: winner/delete counts over the SKINNY projection only
     # (key, version, op — Catalyst prunes html out of the scan; map-side
-    # combinable two-level aggregation, so it is shuffle-light at any scale)
+    # combinable two-level aggregation, so it is shuffle-light at any
+    # scale). WAL-integrity (duplicate (key, warc_ts, lsn) deliveries) is
+    # enforced elsewhere: the fused MOR pass fails loudly on adjacent
+    # duplicate versions (cdc/fused.py), and the COW path keeps the
+    # dropDuplicates guard (unique_versions=False below).
     ver = F.struct(*[F.col(c) for c in order_cols])
     wrow = (
         normalized.groupBy(key)
@@ -202,52 +199,48 @@ def apply_batch(
     # nullness mirrors the source column's, so they merge as plain payload
     # under both modes. Winners flow into exactly one action (the write),
     # so the extraction runs exactly once without any persist. Under mor
-    # the extraction is additionally deferred PAST the bucket shuffle
-    # (write_data_files post_shuffle), so extracted text bytes are never
-    # shuffled or sorted.
+    # extraction happens inside the fused Arrow pass AFTER the bucket
+    # shuffle, so extracted text bytes are never shuffled or sorted.
     use_mor = (
         table.merge_strategy == "mor"
         and mode == "overwrite"
         and DELETED_COL in cur.names()
     )
-    post_shuffle = None
     if use_mor:
-        # ---- merge-on-read: APPEND the winners as delta files (deletes as
-        # tombstone rows); no target read, no join — O(batch) per batch.
-        # Reads resolve LWW by (version, file sequence); see lake/table.py.
-        out_cols = []
-        is_del = F.col(OP_COL) == "D"
-        for f in cur.fields:
-            if f.name in computed:
-                continue  # extracted post-shuffle
-            if f.name == DELETED_COL:
-                out_cols.append(is_del.alias(DELETED_COL))
-            elif f.name in (key, *order_cols):
-                out_cols.append(F.col(f.name).cast(f.type).alias(f.name))
-            else:
-                out_cols.append(
-                    F.when(is_del, F.lit(None).cast(f.type))
-                    .otherwise(F.col(f.name).cast(f.type))
-                    .alias(f.name)
-                )
-        out = winners.select(*out_cols)
-        replaced: set[int] = set()
-        if computed:
-            types = {f.name: f.type for f in cur.fields}
+        # ---- merge-on-read, fused single-shuffle path (cdc/fused.py):
+        # APPEND the batch's winners as delta files (deletes as tombstone
+        # rows); no target read, no join, ONE payload exchange — per-batch
+        # cost is O(batch), never O(table). Dedup happens partition-locally
+        # after the bucket repartition (bucket is a pure key function, so
+        # keys never span partitions); extraction runs on winner rows only
+        # inside the same Arrow pass. Reads resolve LWW by (version, file
+        # sequence); see lake/table.py.
+        from .fused import fused_mor_winners
 
-            def post_shuffle(staged):
-                for cname, src_col in computed.items():
-                    staged = staged.withColumn(
-                        cname,
-                        F.when(
-                            ~F.col(DELETED_COL), extract_text_udf(F.col(src_col))
-                        ).cast(types[cname]),
-                    )
-                return staged
+        replaced: set[int] = set()
+        out = fused_mor_winners(
+            normalized, key, OP_COL, order_cols, cur.to_spark(),
+            computed, snap.n_buckets,
+        )
+        files = table.write_data_files_prepartitioned(
+            out, snap.version + 1, cur.version
+        )
     else:
         # ---- copy-on-write MERGE as a single full-outer join against the
         # bucket-pruned target (tombstones included: a stale replayed event
-        # must lose to a newer D; target projected to the evolved schema)
+        # must lose to a newer D; target projected to the evolved schema).
+        # Per-batch LWW dedup first (conflicts resolved deterministically).
+        # unique_versions=False: the skinny fetch join would emit duplicate
+        # rows per key if a WAL violated lsn uniqueness, and the COW merge
+        # would silently commit them — the dropDuplicates guard collapses
+        # that case instead (the fused MOR path fails loudly on it).
+        if mode == "coalesce":
+            winners = _fold_partial_updates(normalized, key, order_cols)
+        else:
+            winners = lww_dedup(
+                normalized, key, order_cols, strategy=dedup_strategy,
+                unique_versions=False,
+            )
         for cname, src_col in computed.items():
             winners = winners.withColumn(
                 cname,
@@ -257,25 +250,21 @@ def apply_batch(
         target = table.read(buckets=touched, include_deleted=True, as_schema=cur)
         out = _merge(target, winners, key, order_cols, cur, computed, mode)
         replaced = set(touched)
-
-    out = out.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
-
-    # ---- action 3: write per-bucket files; commit snapshot atomically
-    files = table.write_data_files(
-        out, snap.version + 1, cur.version, post_shuffle=post_shuffle
-    )
+        out = out.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
+        # ---- action 3: write per-bucket files (COW rewrites touched buckets)
+        files = table.write_data_files(out, snap.version + 1, cur.version)
     _mark("t_merge_write")
     if use_mor:
-        # integrity check for the unique_versions fast path: the delta files
-        # must hold exactly one row per winner key. A mismatch means the WAL
-        # violated lsn uniqueness (same (key, version), different payloads)
-        # — fail before commit rather than corrupt read-time resolution.
+        # structural invariant check: the delta files must hold exactly one
+        # row per winner key (the fused dedup's contiguous-group scan and
+        # the skinny count both group by key; a mismatch means a broken
+        # partitioning/sort invariant) — fail before commit rather than
+        # corrupt read-time resolution.
         written = sum(f.rows for f in files)
         if written != n_winners:
             raise RuntimeError(
-                f"WAL integrity violation: {written} rows written for "
-                f"{n_winners} winner keys — duplicate (key, warc_ts, lsn) "
-                "versions in one batch; lsn must be a unique sequence number"
+                f"fused-merge invariant violation: {written} rows written "
+                f"for {n_winners} winner keys"
             )
     new_snap = table.commit(
         files, replaced, new_ids,

@@ -1,0 +1,147 @@
+"""Fused single-shuffle MOR apply: one payload exchange per batch.
+
+Round-2/3 profiling (BENCH/profile_apply.py, BENCH/decompose.py) showed the
+merge-write phase of the MOR apply was the scaling bottleneck, and that its
+cost was structural: the skinny-join path scanned the segment twice more
+and moved every payload byte through TWO exchanges (the SHUFFLE_HASH fetch
+join on key, then the bucket repartition before the write). This module
+replaces that with the minimal data movement the semantics allow:
+
+    window over hashpartitioning(_bucket[, _salt])   -- the ONLY exchange
+      -> partition-local sort (_bucket, key ASC, version DESC)
+      -> lag(key)-based "first row of key group" filter  == LWW winner
+      -> delete tombstoning + winners-only html->text Arrow UDF
+      -> parquet write partitionBy(_bucket), concurrent writers (no sort)
+
+Correctness hinges on one invariant: ``_bucket = pmod(xxhash64(key),
+n_buckets)`` (and the optional in-bucket ``_salt``) is a pure function of
+the key, so hash-partitioning on it colocates every row of a key in
+exactly one partition, where the window sort makes the key's rows
+contiguous with the max-(warc_ts, lsn) row first. Catalyst accepts the
+bucket partitioning as the window's required clustering, so NO second
+exchange is planned — winner selection, tombstoning, extraction and the
+file write all run inside the single post-shuffle stage (one sort, no
+Python transfer of loser rows: ``lag`` runs JVM-side and the pandas UDF
+sees winner rows only).
+
+Scale properties (the 100-TB design):
+- one exchange of payload bytes per batch (was two + an extra scan);
+- extraction (the only Python work) runs on winner rows only;
+- write parallelism is NOT capped at n_buckets: when the cluster has more
+  slots than buckets, an in-bucket salt (also a pure key function) splits
+  each bucket across ceil(nparts / n_buckets) writers, producing that many
+  delta files per bucket per commit — the MOR manifest supports any
+  files-per-bucket count, and resolution order (version, sequence) is
+  unaffected because a key never spans two salt shards;
+- the writer runs with spark.sql.maxConcurrentOutputFileWriters set so the
+  planner does NOT re-sort the extracted output by partition column
+  (verified: plan has no Sort node; rows arrive bucket-clustered anyway).
+
+Contract: ``lsn`` is a unique sequence number (the WAL/LSN contract). A
+batch violating it on a WINNING version would make winner-payload
+selection nondeterministic (equal sort keys, divergent payloads), so the
+winner row checks its successor via ``lead`` — duplicates are adjacent
+after the sort — and raises pre-commit (``raise_error`` folded into the
+tombstone column, which every written row evaluates).
+
+Reference precursor: newest-extract-wins per key
+(/root/reference/src/how_long_to_beat.py:287-296) — re-expressed as a
+partition-local vectorized scan instead of a per-row Python loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.extract import extract_text_udf
+from ..lake.table import BUCKET_COL, DELETED_COL, bucket_expr
+
+
+def write_salts(nparts: int, n_buckets: int) -> int:
+    """How many in-bucket salt shards the write should use: 1 while the
+    shuffle has fewer partitions than buckets (each bucket already gets at
+    most one task), else enough that ~every partition slot gets work."""
+    return max(1, -(-nparts // n_buckets))  # ceil
+
+
+def fused_mor_winners(
+    normalized: DataFrame,
+    key: str,
+    op_col: str,
+    order_cols: tuple[str, ...],
+    cur_schema: T.StructType,
+    computed: dict[str, str],
+    n_buckets: int,
+) -> DataFrame:
+    """normalized (op + payload columns, already cast to the evolved
+    schema) -> bucket-partitioned winner rows ready for a pre-partitioned
+    parquet write. ``cur_schema`` is the evolved table schema including
+    computed columns and the tombstone flag."""
+    spark = normalized.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    src = normalized.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
+
+    part_exprs = [F.col(BUCKET_COL)]
+    n_salts = write_salts(nparts, n_buckets)
+    if n_salts > 1:
+        part_exprs.append(F.pmod(F.xxhash64(F.col(key)), F.lit(n_salts)))
+    w = Window.partitionBy(*part_exprs).orderBy(
+        F.col(key).asc(), *[F.col(c).desc() for c in order_cols]
+    )
+
+    # winner = first row of its (contiguous, sorted-desc) key group.
+    # row_number()==1 guards the partition's very first row (lag is NULL
+    # there, which eqNullSafe would mis-read for a NULL key).
+    prev_key = F.lag(F.col(key)).over(w)
+    is_first = (F.row_number().over(w) == 1) | (~prev_key.eqNullSafe(F.col(key)))
+
+    # WAL-integrity: a winner whose successor carries the SAME (key,
+    # version) means duplicate lsn delivery with potentially divergent
+    # payloads. lead(lit(1)) is NULL only past the partition end, so the
+    # last row can't false-positive on all-NULL comparisons.
+    dup = F.lead(F.lit(1)).over(w).isNotNull()
+    for c in (key, *order_cols):
+        dup = dup & F.lead(F.col(c)).over(w).eqNullSafe(F.col(c))
+
+    sel = src.select(
+        F.col("*"), is_first.alias("_first"), dup.alias("_dup")
+    )
+    winners = sel.where(F.col("_first"))
+
+    is_del = F.col(op_col) == "D"
+    # the integrity raise is folded into the tombstone column so every
+    # written row evaluates it (a dropped helper column would be pruned)
+    guarded_del = F.when(
+        F.col("_dup"),
+        F.raise_error(
+            F.lit(
+                "WAL integrity violation: duplicate (key, "
+                f"{', '.join(order_cols)}) delivered within one batch; "
+                "lsn must be a unique sequence number"
+            )
+        ).cast("boolean"),
+    ).otherwise(is_del)
+
+    out_cols = []
+    for f in cur_schema.fields:
+        if f.name == DELETED_COL:
+            out_cols.append(guarded_del.alias(f.name))
+        elif f.name in computed:
+            src_col = computed[f.name]
+            out_cols.append(
+                F.when(~is_del, extract_text_udf(F.col(src_col)))
+                .cast(f.dataType)
+                .alias(f.name)
+            )
+        elif f.name in (key, *order_cols):
+            out_cols.append(F.col(f.name))
+        else:
+            out_cols.append(
+                F.when(is_del, F.lit(None).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+    out_cols.append(F.col(BUCKET_COL))
+    return winners.select(*out_cols)

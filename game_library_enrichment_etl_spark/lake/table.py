@@ -264,7 +264,6 @@ class IceletTable:
         df: DataFrame,
         version: int,
         schema_version: int,
-        post_shuffle=None,
     ) -> list[DataFileMeta]:
         """Write ``df`` (current-schema columns + ``_bucket``) as immutable
         per-bucket parquet files under a per-attempt unique directory
@@ -276,12 +275,6 @@ class IceletTable:
         references, and the retried apply writes a fresh directory instead of
         colliding with the orphan (manifest entries record exact paths, so
         readers never glob).
-
-        ``post_shuffle``: optional DataFrame->DataFrame projection applied
-        AFTER the bucket repartition + sort, immediately before the file
-        write. Used to defer expensive derived columns (the html->text
-        Arrow UDF) past the exchange, so their output bytes are never
-        shuffled or sorted — at web scale that is ~40% of the row.
         """
         key = self.key_col
         rel_dir = os.path.join("data", f"v{version}-{uuid.uuid4().hex[:8]}")
@@ -292,13 +285,39 @@ class IceletTable:
         # enable key-range skipping on point lookups.
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         staged = df.repartition(nparts, BUCKET_COL).sortWithinPartitions(BUCKET_COL, key)
-        if post_shuffle is not None:
-            staged = post_shuffle(staged)
         (
             staged.write.mode("errorifexists")
             .partitionBy(BUCKET_COL)
             .parquet(out)
         )
+        return self._harvest_manifest_entries(out, schema_version, version)
+
+    def write_data_files_prepartitioned(
+        self, df: DataFrame, version: int, schema_version: int
+    ) -> list[DataFileMeta]:
+        """Write ``df`` that is ALREADY partitioned so that no bucket spans
+        two partitions (the fused MOR path repartitions on
+        (_bucket[, salt(key)]) upstream, fusing the exchange with the LWW
+        sort). No repartition, no sort: the writer runs with concurrent
+        output writers so the planner does not re-sort the (already
+        bucket-clustered) rows by partition column — at most
+        salts-per-bucket files per bucket per commit, and write parallelism
+        equals the upstream partition count instead of being capped at
+        n_buckets."""
+        rel_dir = os.path.join("data", f"v{version}-{uuid.uuid4().hex[:8]}")
+        out = os.path.join(self.root, rel_dir)
+        prev = self.spark.conf.get("spark.sql.maxConcurrentOutputFileWriters", "0")
+        self.spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "128")
+        try:
+            df.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(out)
+        finally:
+            self.spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", prev)
+        return self._harvest_manifest_entries(out, schema_version, version)
+
+    def _harvest_manifest_entries(
+        self, out: str, schema_version: int, version: int
+    ) -> list[DataFileMeta]:
+        key = self.key_col
         entries = [
             (int(e.split("=")[1]), os.path.join(out, e))
             for e in sorted(os.listdir(out))

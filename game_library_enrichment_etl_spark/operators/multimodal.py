@@ -66,13 +66,20 @@ def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
     if blob[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to a frame header
         i = 2
         n = len(blob)
-        while i + 4 <= n:
+        while i + 2 <= n:
             if blob[i] != 0xFF:
+                return None
+            # runs of 0xFF are legal fill/padding before a marker byte
+            while i + 1 < n and blob[i + 1] == 0xFF:
+                i += 1
+            if i + 2 > n:
                 return None
             marker = blob[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload
                 i += 2
                 continue
+            if marker == 0xD9:  # EOI: end of stream, no frame header found
+                return None
             if i + 4 > n:
                 return None
             seg_len = struct.unpack(">H", blob[i + 2 : i + 4])[0]

@@ -48,6 +48,7 @@ def run_stream(
     max_files_per_trigger: int = 1,
     on_batch: Callable[[int, ApplyResult], None] | None = None,
     fail_after_batches: int | None = None,
+    auto_compact: int | None = 8,
 ):
     """Run the Structured Streaming apply loop until all currently-available
     segments are processed (availableNow trigger), then return the results.
@@ -55,6 +56,10 @@ def run_stream(
     ``fail_after_batches`` injects a crash AFTER the table commit of the
     n-th micro-batch (before the checkpoint commit) — the worst-case
     failure window for exactly-once; used by the resume tests.
+
+    ``auto_compact``: under merge-on-read, compact any bucket whose
+    delta-file count exceeds this after each applied batch, bounding read
+    amplification over a sustained stream (None disables).
     """
     spark = table.spark
     if schema is None:
@@ -70,6 +75,7 @@ def run_stream(
             table, df, mode=mode, dedup_strategy=dedup_strategy, lateness_s=lateness_s
         )
         results.append(res)
+        _maybe_auto_compact(table, res, auto_compact)
         if on_batch is not None:
             on_batch(epoch_id, res)
         if fail_after_batches is not None and len(results) >= fail_after_batches:
@@ -100,6 +106,18 @@ def run_stream(
     return results
 
 
+def _maybe_auto_compact(table: IceletTable, res: ApplyResult, threshold: int | None) -> None:
+    """Post-apply MOR maintenance: bound per-bucket delta-file count (and
+    with it read-time LWW resolution cost) over a sustained stream."""
+    if threshold is None or res.skipped or table.merge_strategy != "mor":
+        return
+    from ..lake.maintenance import maybe_compact
+
+    m = maybe_compact(table, max_files_per_bucket=threshold)
+    if m is not None:
+        res.metrics["compaction"] = m
+
+
 _SEG_NUM = re.compile(r"(\d+)")
 
 
@@ -121,12 +139,14 @@ def tail_segments(
     dedup_strategy: str = "agg",
     lateness_s: int | None = None,
     max_segments: int | None = None,
+    auto_compact: int | None = 8,
 ) -> list[ApplyResult]:
     """Apply every not-yet-applied segment file in order (evolution-capable).
 
     Each segment is read with its own (possibly evolved) schema; already
     applied batch_ids no-op inside apply_batch, so this is safe to call
     repeatedly (cron-style incremental runs) and after a crash.
+    ``auto_compact``: see run_stream.
     """
     spark = table.spark
     segs = sorted(glob.glob(os.path.join(wal_dir, pattern)), key=_natural_key)
@@ -143,6 +163,7 @@ def tail_segments(
             lateness_s=lateness_s,
         )
         results.append(res)
+        _maybe_auto_compact(table, res, auto_compact)
         if not res.skipped:
             n += 1
             if max_segments is not None and n >= max_segments:

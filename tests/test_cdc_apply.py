@@ -160,3 +160,30 @@ def test_extractor_deterministic_and_correct():
     s = extract_text_series(pd.Series([html, None, html * 2]))
     assert s[0] == out and s[1] is None
     assert extract_text_one(html) == out
+
+
+def test_duplicate_lsn_delivery_fails_loudly(spark, tmp_path):
+    """WAL-integrity: duplicate (key, warc_ts, lsn) within one batch makes
+    winner-payload selection nondeterministic, so the fused MOR pass must
+    raise before committing anything (cdc/fused.py contract)."""
+    import pandas as pd
+    import pytest
+
+    from game_library_enrichment_etl_spark.cdc.tables import create_pages_table
+
+    ev = gen_change_events(200, 40, seed=31)
+    # duplicate some key's WINNING (warc_ts, lsn) with a divergent payload
+    key_url = ev.iloc[0]["url"]
+    sub = ev[ev["url"] == key_url]
+    dup = sub.sort_values(["warc_ts", "lsn"]).iloc[[-1]].copy()
+    dup["html"] = [b"<p>divergent payload</p>"]
+    batch = pd.concat([ev, dup], ignore_index=True)
+    paths = write_change_segments(str(tmp_path / "wal"), batch.drop(columns=["title"]), 1)
+
+    t = create_pages_table(
+        spark, str(tmp_path / "pages"), n_buckets=4, merge_strategy="mor"
+    )
+    v0 = t.snapshot().version
+    with pytest.raises(Exception, match="(?i)duplicate"):
+        apply_batch(t, spark.read.parquet(paths[0]))
+    assert t.snapshot().version == v0, "nothing may be committed"

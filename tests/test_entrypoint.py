@@ -83,3 +83,68 @@ def test_alert_hook_callbacks_never_raise(tmp_path):
 def test_cli_missing_required_config_exits(tmp_path):
     proc = _run_cli(["--wal-dir", str(tmp_path)], timeout=60)
     assert proc.returncode != 0
+
+
+def test_replace_with_stream_runner_replays_fully(tmp_path):
+    """ADVICE r2 (high): --replace must clear the streaming checkpoint, or
+    the file source skips every already-checkpointed segment and the
+    replaced table silently stays empty — the documented full-replay
+    semantics require the whole change stream to re-apply."""
+    wal = str(tmp_path / "wal")
+    gen_stream(wal, n_events=400, n_urls=60, n_segments=2, seed=33)
+    cfg = {
+        "table_root": str(tmp_path / "pages"),
+        "wal_dir": wal,
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "n_buckets": 4,
+        "merge_strategy": "mor",
+        "runner": "stream",
+        "master": "local[4]",
+    }
+    cfg_path = tmp_path / "job.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    proc = _run_cli(["--config", str(cfg_path)])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    s1 = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert s1["events_applied"] == 400
+
+    proc2 = _run_cli(["--config", str(cfg_path), "--replace"])
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    s2 = json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert s2["events_applied"] == 400, "replace+stream must re-apply everything"
+    assert s2["rows_stored"] > 0
+
+
+def test_cli_compact_verb(tmp_path):
+    """--compact runs standalone maintenance and reports metrics."""
+    wal = str(tmp_path / "wal")
+    gen_stream(wal, n_events=400, n_urls=60, n_segments=4, seed=35)
+    cfg = {
+        "table_root": str(tmp_path / "pages"),
+        "wal_dir": wal,
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "n_buckets": 4,
+        "merge_strategy": "mor",
+        "auto_compact": 0,  # accumulate deltas so compact has work
+        "master": "local[4]",
+    }
+    cfg_path = tmp_path / "job.json"
+    cfg_path.write_text(json.dumps(cfg))
+    proc = _run_cli(["--config", str(cfg_path)])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    proc2 = _run_cli(["--config", str(cfg_path), "--compact"])
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    m = json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert m["verb"] == "compact" and m["buckets"] > 0
+
+    # post-compact: at most one file per bucket
+    from game_library_enrichment_etl_spark.lake.table import IceletTable
+    from game_library_enrichment_etl_spark.lake.snapshot import read_snapshot
+
+    snap = read_snapshot(cfg["table_root"])
+    counts = {}
+    for f in snap.files:
+        counts[f.bucket] = counts.get(f.bucket, 0) + 1
+    assert max(counts.values()) == 1
