@@ -534,6 +534,26 @@ FROM events, wm WHERE ts > wm.wm
 """
 
 
+def _recency_rescope(spark, sf):  # S4-adjacent — trailing re-enrichment scope
+    """Recency re-extraction window (/root/reference/src/how_long_to_beat.py:59-62):
+    keys whose LATEST event time falls inside a trailing window from the
+    stream's max timestamp are re-qualified for enrichment even though
+    already processed — the scope WIDENS (unlike lateness, which drops)."""
+    ev = _t(spark, sf, "events")
+    scoped = R.recency_rescope(ev, "user_id", "ts", window_s=4 * 3600)
+    return scoped.select(
+        "user_id", F.unix_millis(F.col("latest_ts").cast("timestamp")).alias("latest_ts_ms")
+    )
+
+
+_RECENCY_SQL = """
+WITH a AS (SELECT max(ts) AS as_of FROM events),
+l AS (SELECT user_id, max(ts) AS latest_ts FROM events GROUP BY user_id)
+SELECT l.user_id, epoch_ms(l.latest_ts)::BIGINT AS latest_ts_ms
+FROM l, a WHERE l.latest_ts >= a.as_of - INTERVAL 4 HOUR
+"""
+
+
 def _distinct_values(spark, sf):  # A6
     return _t(spark, sf, "events").select("event_type").where(F.col("event_type").isNotNull()).distinct()
 
@@ -995,6 +1015,41 @@ def _lang_id_docs(spark, sf):
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
 
 
+def _lang_id_docs_np(spark, sf):
+    """numpy fast path (functions/text_np.py) — same oracle as the
+    Catalyst spec version: value-equality IS the check."""
+    from game_library_enrichment_etl_spark.functions.text_np import lang_id_np
+
+    docs = _repart(spark, _t(spark, sf, "documents"))
+    return docs.select("doc_id", lang_id_np()(F.col("text")).alias("lang_guess"))
+
+
+def _quality_token_stats_np(spark, sf):
+    """numpy fast path for the quality/token stats — same oracle SQL."""
+    from game_library_enrichment_etl_spark.functions.text_np import (
+        quality_token_stats_np,
+    )
+
+    docs = _repart(spark, _t(spark, sf, "documents"))
+    s = docs.select("doc_id", quality_token_stats_np()(F.col("text")).alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.n_bpe_tokens").alias("n_bpe_tokens"),
+        F.col("s.punct_ratio").alias("punct_ratio"),
+        F.col("s.quality").alias("quality"),
+    )
+
+
+def _embedding_srp_ann_np(spark, sf):
+    """SRP buckets via one numpy matmul per Arrow batch — same oracle."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ANN.srp_lsh_topk(
+        emb, queries, k=5, n_bits=8, dim=64, multiprobe_flips=1, vectorized=True
+    )
+
+
 def _lang_id_sql() -> str:
     toks = _sql_tokens("text")
     langs = sorted(TX.LANG_STOPWORDS)
@@ -1133,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _topk_per_group,
         "global_sort_limit": _global_sort_limit,
         "watermark_incremental": _watermark_incremental,
+        "recency_rescope": _recency_rescope,
         "distinct_values": _distinct_values,
         "value_counts_pct": _value_counts_pct,
         "summary_metrics": _summary_metrics,
@@ -1149,8 +1205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "embedding_topk_cosine": _embedding_topk,
         "embedding_srp_ann": _embedding_srp_ann,
+        "embedding_srp_ann_np": _embedding_srp_ann_np,
         "lang_id_docs": _lang_id_docs,
+        "lang_id_docs_np": _lang_id_docs_np,
         "quality_token_stats": _quality_token_stats,
+        "quality_token_stats_np": _quality_token_stats_np,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_decode": _multimodal_decode,
     }
@@ -1181,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _O2_SQL,
         "global_sort_limit": _O1_SQL,
         "watermark_incremental": _A7_SQL,
+        "recency_rescope": _RECENCY_SQL,
         "distinct_values": _A6_SQL,
         "value_counts_pct": _A9_SQL,
         "summary_metrics": _A11_SQL,
@@ -1197,8 +1257,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _ngram_sql(),
         "embedding_topk_cosine": _ANN_SQL,
         "embedding_srp_ann": _srp_sql(),
+        "embedding_srp_ann_np": _srp_sql(),
         "lang_id_docs": _lang_id_sql(),
+        "lang_id_docs_np": _lang_id_sql(),
         "quality_token_stats": _quality_sql(),
+        "quality_token_stats_np": _quality_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "multimodal_decode": _MM_SQL,
     }

@@ -98,8 +98,13 @@ GROUPS: dict[str, list[str]] = {
         "simhash_pairs",
     ],
     "ngram": ["ngram_jaccard_sample", "ngram_jaccard_full"],
-    "ann": ["embedding_topk_cosine", "embedding_srp_ann"],
-    "text": ["lang_id_docs", "quality_token_stats"],
+    "ann": ["embedding_topk_cosine", "embedding_srp_ann", "embedding_srp_ann_np"],
+    "text": [
+        "lang_id_docs",
+        "lang_id_docs_np",
+        "quality_token_stats",
+        "quality_token_stats_np",
+    ],
 }
 
 

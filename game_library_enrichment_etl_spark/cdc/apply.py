@@ -82,10 +82,23 @@ def apply_batch(
     rename_hints: dict[str, str] | None = None,
     lateness_s: int | None = None,
     default_batch_id: int | None = None,
+    hot_key_threshold: int = 1_000_000,
 ) -> ApplyResult:
     """Apply one micro-batch of change events to the table. Idempotent:
     segments whose ``batch_id`` is already in the snapshot's commit markers
-    are filtered out; an entirely-replayed batch is a no-op."""
+    are filtered out; an entirely-replayed batch is a no-op.
+
+    ``hot_key_threshold``: per-batch hot-key detection (SURVEY §4
+    custom-2). The skinny stats pass already aggregates per key, so the
+    max rows-per-key count rides along for free; when any key exceeds the
+    threshold, the batch is routed through the salted two-phase reduce
+    (operators/lww.py) before merging — a single key's rows would
+    otherwise all land in one task (one bucket partition under the fused
+    path, one hash partition under COW's skinny join) and straggle or
+    spill. The routing decision is recorded in metrics. Caveat: the salted
+    pre-reduce resolves duplicate (key, version) deliveries arbitrarily
+    instead of failing loudly — acceptable only because a duplicate lsn is
+    already out of WAL contract."""
     t0 = time.monotonic()
     phase_t: dict[str, float] = {}
 
@@ -182,14 +195,20 @@ def apply_batch(
     ver = F.struct(*[F.col(c) for c in order_cols])
     wrow = (
         normalized.groupBy(key)
-        .agg(F.max_by(F.col(OP_COL), ver).alias("_op"))
+        .agg(
+            F.max_by(F.col(OP_COL), ver).alias("_op"),
+            F.count(F.lit(1)).alias("_kn"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col("_op") == "D").cast("long")).alias("n_del"),
+            F.max("_kn").alias("max_key_rows"),
         )
         .collect()[0]
     )
     n_winners, n_deletes = int(wrow["n"]), int(wrow["n_del"] or 0)
+    max_key_rows = int(wrow["max_key_rows"] or 0)
+    hot = max_key_rows > hot_key_threshold
     _mark("t_winner_stats")
 
     # engine-computed columns (text from html) are extracted on the batch
@@ -218,8 +237,14 @@ def apply_batch(
         from .fused import fused_mor_winners
 
         replaced: set[int] = set()
+        merge_src = normalized
+        if hot:
+            # hot-key batch: pre-reduce with the salted two-phase max so no
+            # single key's rows concentrate in one bucket-partition task;
+            # the fused pass then sees at most one row per key
+            merge_src = lww_dedup(normalized, key, order_cols, strategy="salted")
         out = fused_mor_winners(
-            normalized, key, OP_COL, order_cols, cur.to_spark(),
+            merge_src, key, OP_COL, order_cols, cur.to_spark(),
             computed, snap.n_buckets,
         )
         files = table.write_data_files_prepartitioned(
@@ -238,7 +263,8 @@ def apply_batch(
             winners = _fold_partial_updates(normalized, key, order_cols)
         else:
             winners = lww_dedup(
-                normalized, key, order_cols, strategy=dedup_strategy,
+                normalized, key, order_cols,
+                strategy="salted" if hot else dedup_strategy,
                 unique_versions=False,
             )
         for cname, src_col in computed.items():
@@ -276,6 +302,8 @@ def apply_batch(
     metrics["wall_ms"] = wall_ms
     metrics["schema_changed"] = evo.changed
     metrics["merge_strategy"] = "mor" if use_mor else "cow"
+    metrics["max_key_rows"] = max_key_rows
+    metrics["hot_key_routed"] = hot
     metrics["phases_s"] = phase_t
     _append_lineage(table.root, seg_stats, metrics, new_snap.version)
     return ApplyResult(False, new_snap.version, metrics, seg_stats)

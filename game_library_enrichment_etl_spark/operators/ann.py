@@ -17,6 +17,8 @@ SQL on both engines).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -100,6 +102,44 @@ def srp_bucket(vec: Column, n_bits: int = 8, dim: int = 64) -> Column:
     return out.cast("int")
 
 
+def srp_planes_np(n_bits: int = 8, dim: int = 64):
+    """The ±1 plane matrix (dim x n_bits) as float64 — same md5-derived
+    weights as srp_bucket."""
+    import hashlib
+
+    W = np.empty((dim, n_bits), dtype=np.float64)
+    for r in range(n_bits):
+        for d in range(dim):
+            even = (
+                int.from_bytes(hashlib.md5(f"srp|{r}|{d}".encode()).digest()[:8], "big")
+                % 2
+                == 0
+            )
+            W[d, r] = 1.0 if even else -1.0
+    return W
+
+
+def srp_bucket_np_udf(n_bits: int = 8, dim: int = 64):
+    """numpy fast path for srp_bucket: one matmul per Arrow batch instead
+    of n_bits interpreted higher-order dot products per row (the round-2
+    verdict's 100-TB caveat). Value-equal to srp_bucket on real data
+    (tests/test_text_np.py asserts it over the corpus); the only possible
+    divergence is a projection within float summation-order rounding of
+    exactly 0, which ±1 weights over non-degenerate vectors don't hit."""
+    W = srp_planes_np(n_bits, dim)
+    powers = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf("int")
+    def f(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (X @ W) > 0
+        return pd.Series((bits @ powers).astype("int32"))
+
+    return f
+
+
 def srp_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -109,19 +149,27 @@ def srp_lsh_topk(
     multiprobe_flips: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Approximate top-k: cosine only within SRP buckets; queries probe
     their own bucket plus every bucket at hamming distance <=
-    ``multiprobe_flips`` (recall knob). Bucket id is the equi-join key."""
+    ``multiprobe_flips`` (recall knob). Bucket id is the equi-join key.
+    ``vectorized``: compute buckets via the numpy pandas UDF (scale path)
+    instead of the Catalyst expression (oracle spec)."""
+    bucket = (
+        (lambda v: srp_bucket_np_udf(n_bits, dim)(v))
+        if vectorized
+        else (lambda v: srp_bucket(v, n_bits, dim))
+    )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        srp_bucket(F.col(vec_col), n_bits, dim).alias("bkt"),
+        bucket(F.col(vec_col)).alias("bkt"),
     )
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        srp_bucket(F.col(vec_col), n_bits, dim).alias("bkt0"),
+        bucket(F.col(vec_col)).alias("bkt0"),
     )
     probes = [F.col("bkt0")]
     if multiprobe_flips >= 1:

@@ -37,7 +37,30 @@ DECODE_SCHEMA = T.StructType(
     ]
 )
 
-REAL_DECODER_AVAILABLE = False  # no PIL/ffmpeg in this container (pixel decode)
+# optional-import seam for real pixel decode: PIL is absent in this
+# container, so the flag gates the real path at runtime instead of
+# hardcoding the environment's limitation into the API
+try:  # pragma: no cover - depends on environment
+    from PIL import Image as _PIL_Image
+
+    REAL_DECODER_AVAILABLE = True
+except ImportError:
+    _PIL_Image = None
+    REAL_DECODER_AVAILABLE = False
+
+
+def _real_decode_one(bb: bytes) -> tuple:
+    """Pixel decode via PIL (only reachable when REAL_DECODER_AVAILABLE):
+    true dimensions + an 8-dim feature = mean of 8 horizontal luminance
+    bands (deterministic; no resampling randomness)."""
+    import io
+
+    img = _PIL_Image.open(io.BytesIO(bb))
+    w, h = img.size
+    lum = np.asarray(img.convert("L"), dtype=np.float32) / 255.0
+    bands = np.array_split(lum, 8, axis=0)
+    feats = [float(round(float(b.mean()) if b.size else 0.0, 6)) for b in bands]
+    return (w, h, feats)
 
 
 def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
@@ -123,6 +146,8 @@ def decode_binary_column(
             return (None, None, None)
         bb = bytes(b)
         hdr = parse_image_header(bb)
+        if real and hdr is not None:
+            return _real_decode_one(bb)
         if hdr is not None:  # real container format: true dimensions
             _, w, h = hdr
             head = np.frombuffer(bb[:32].ljust(32, b"\0"), dtype=np.uint8).astype(np.float32)

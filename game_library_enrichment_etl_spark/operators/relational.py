@@ -102,3 +102,34 @@ def bridge_explode(
         .where(F.col(out_name).isNotNull())
         .dropDuplicates([id_col, out_name])
     )
+
+
+# Recency re-extraction scope (/root/reference/src/how_long_to_beat.py:59-62):
+# keys whose latest event time falls inside a trailing window are
+# re-qualified for enrichment even though already processed — distinct from
+# lateness (which drops), this WIDENS the work scope. The as-of anchor
+# defaults to the data's own max timestamp (deterministic: no wall clock).
+def recency_rescope(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    window_s: int,
+    as_of=None,
+) -> DataFrame:
+    """One row per key whose max(ts) >= as_of - window_s:
+    (key, latest_ts). Scale shape: one map-side-combinable groupBy for the
+    per-key max, one scalar-aggregate broadcast for the anchor — no window
+    function, no second scan of payload columns."""
+    latest = df.groupBy(key).agg(F.max(ts_col).alias("latest_ts"))
+    if as_of is None:
+        anchor = df.agg(F.max(ts_col).alias("_as_of"))
+        latest = latest.join(F.broadcast(anchor))
+    else:
+        latest = latest.withColumn("_as_of", F.lit(as_of).cast("timestamp"))
+    return (
+        latest.where(
+            F.col("latest_ts")
+            >= F.col("_as_of") - F.make_interval(secs=F.lit(window_s))
+        )
+        .select(key, "latest_ts")
+    )

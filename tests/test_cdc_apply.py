@@ -187,3 +187,33 @@ def test_duplicate_lsn_delivery_fails_loudly(spark, tmp_path):
     with pytest.raises(Exception, match="(?i)duplicate"):
         apply_batch(t, spark.read.parquet(paths[0]))
     assert t.snapshot().version == v0, "nothing may be committed"
+
+
+def test_hot_key_detection_routes_salted(spark, tmp_path):
+    """SURVEY §4 custom-2: a batch where one key dominates (Zipfian hot
+    url) is detected from the skinny stats pass and routed through the
+    salted two-phase reduce — output identical to the default path, and
+    the routing decision recorded in metrics."""
+    from game_library_enrichment_etl_spark.cdc.tables import create_pages_table
+
+    ev = gen_change_events(3000, 5, seed=41)  # ~600 events per url: all hot
+    paths = write_change_segments(str(tmp_path / "wal"), ev.drop(columns=["title"]), 1)
+    batch = spark.read.parquet(paths[0])
+
+    states = {}
+    for name, thresh in (("hot", 100), ("default", 10**9)):
+        for strat in ("mor", "cow"):
+            t = create_pages_table(
+                spark, str(tmp_path / f"t_{name}_{strat}"), n_buckets=4,
+                merge_strategy=strat,
+            )
+            res = apply_batch(t, batch, hot_key_threshold=thresh)
+            assert res.metrics["hot_key_routed"] == (name == "hot")
+            assert res.metrics["max_key_rows"] > 100
+            states[(name, strat)] = (
+                t.read().toPandas().sort_values("url").reset_index(drop=True)
+                .sort_index(axis=1)
+            )
+    for strat in ("mor", "cow"):
+        pd.testing.assert_frame_equal(states[("hot", strat)], states[("default", strat)])
+    pd.testing.assert_frame_equal(states[("hot", "mor")], states[("hot", "cow")])
