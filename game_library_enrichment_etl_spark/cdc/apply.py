@@ -83,6 +83,7 @@ def apply_batch(
     lateness_s: int | None = None,
     default_batch_id: int | None = None,
     hot_key_threshold: int = 1_000_000,
+    mor_path: str = "fused",
 ) -> ApplyResult:
     """Apply one micro-batch of change events to the table. Idempotent:
     segments whose ``batch_id`` is already in the snapshot's commit markers
@@ -225,7 +226,7 @@ def apply_batch(
         and mode == "overwrite"
         and DELETED_COL in cur.names()
     )
-    if use_mor:
+    if use_mor and mor_path == "fused":
         # ---- merge-on-read, fused single-shuffle path (cdc/fused.py):
         # APPEND the batch's winners as delta files (deletes as tombstone
         # rows); no target read, no join, ONE payload exchange — per-batch
@@ -249,6 +250,50 @@ def apply_batch(
         )
         files = table.write_data_files_prepartitioned(
             out, snap.version + 1, cur.version
+        )
+    elif use_mor:
+        # ---- merge-on-read, two-exchange path (mor_path="join"): skinny
+        # LWW dedup + payload fetch join, then the bucket repartition with
+        # post-shuffle extraction. Kept as a measured fallback to the fused
+        # path (same outputs; one more payload exchange + scan).
+        winners = lww_dedup(
+            normalized, key, order_cols,
+            strategy="salted" if hot else dedup_strategy,
+            unique_versions=False,
+        )
+        out_cols = []
+        is_del = F.col(OP_COL) == "D"
+        for f in cur.fields:
+            if f.name in computed:
+                continue  # extracted post-shuffle
+            if f.name == DELETED_COL:
+                out_cols.append(is_del.alias(DELETED_COL))
+            elif f.name in (key, *order_cols):
+                out_cols.append(F.col(f.name).cast(f.type).alias(f.name))
+            else:
+                out_cols.append(
+                    F.when(is_del, F.lit(None).cast(f.type))
+                    .otherwise(F.col(f.name).cast(f.type))
+                    .alias(f.name)
+                )
+        out = winners.select(*out_cols).withColumn(
+            BUCKET_COL, bucket_expr(key, snap.n_buckets)
+        )
+        replaced = set()
+        types = {f.name: f.type for f in cur.fields}
+
+        def post_shuffle(staged):
+            for cname, src_col in computed.items():
+                staged = staged.withColumn(
+                    cname,
+                    F.when(
+                        ~F.col(DELETED_COL), extract_text_udf(F.col(src_col))
+                    ).cast(types[cname]),
+                )
+            return staged
+
+        files = table.write_data_files(
+            out, snap.version + 1, cur.version, post_shuffle=post_shuffle
         )
     else:
         # ---- copy-on-write MERGE as a single full-outer join against the

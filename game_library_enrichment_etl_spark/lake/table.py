@@ -264,6 +264,7 @@ class IceletTable:
         df: DataFrame,
         version: int,
         schema_version: int,
+        post_shuffle=None,
     ) -> list[DataFileMeta]:
         """Write ``df`` (current-schema columns + ``_bucket``) as immutable
         per-bucket parquet files under a per-attempt unique directory
@@ -285,6 +286,11 @@ class IceletTable:
         # enable key-range skipping on point lookups.
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         staged = df.repartition(nparts, BUCKET_COL).sortWithinPartitions(BUCKET_COL, key)
+        if post_shuffle is not None:
+            # optional projection applied AFTER the exchange+sort (e.g. the
+            # html->text UDF on the "join" MOR path, so text bytes are
+            # never shuffled or sorted)
+            staged = post_shuffle(staged)
         (
             staged.write.mode("errorifexists")
             .partitionBy(BUCKET_COL)

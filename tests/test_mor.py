@@ -168,3 +168,17 @@ def test_create_or_replace_resets_and_keeps_history(spark, tmp_path):
     # full replay reproduces the original state (replay equivalence)
     _apply_all(spark, table, paths)
     pd.testing.assert_frame_equal(state1, _state(table))
+
+
+def test_mor_join_path_equals_fused(spark, tmp_path):
+    """The two MOR physical paths (fused single-shuffle window vs skinny
+    join + bucket repartition) must produce identical final state —
+    mor_path='join' is the measured fallback, 'fused' the default."""
+    ev = gen_change_events(2000, 250, seed=9)
+    paths = write_change_segments(str(tmp_path / "wal"), ev, 4)
+    tf = create_pages_table(spark, str(tmp_path / "f"), n_buckets=4, merge_strategy="mor")
+    tj = create_pages_table(spark, str(tmp_path / "j"), n_buckets=4, merge_strategy="mor")
+    for p in paths:
+        apply_batch(tf, spark.read.parquet(p), mor_path="fused")
+        apply_batch(tj, spark.read.parquet(p), mor_path="join")
+    pd.testing.assert_frame_equal(_state(tf), _state(tj))
