@@ -67,3 +67,33 @@ def test_cosine_topk_broadcasts_queries(spark):
     q = cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=2)
     assert_broadcast_join(q)
     assert_no_cartesian(q)
+
+
+def test_fused_mor_plan_shape(spark):
+    """The fused MOR path's scale contract (cdc/fused.py): exactly ONE
+    exchange (the bucket repartition the window requires), one sort, the
+    winner filter BELOW the Arrow extraction (losers never reach Python),
+    and no extra shuffle after the window."""
+    from game_library_enrichment_etl_spark.cdc.fused import fused_mor_winners
+    from game_library_enrichment_etl_spark.cdc.tables import PAGES_SCHEMA
+    from game_library_enrichment_etl_spark.plans.asserts import executed_plan
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.lit("U").alias("op"),
+        F.concat(F.lit("https://x/"), (F.col("id") % 200).cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("warc_ts"),
+        F.col("id").alias("lsn"),
+        F.encode(F.concat(F.lit("<p>v"), F.col("id").cast("string"), F.lit("</p>")), "utf-8").alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    out = fused_mor_winners(df, "url", "op", ("warc_ts", "lsn"), PAGES_SCHEMA,
+                            {"text": "html"}, 32)
+    plan = executed_plan(out)
+    assert plan.count("Exchange") == 1, f"expected exactly one exchange:\n{plan}"
+    assert plan.count("+- Sort") == 1, f"expected exactly one sort:\n{plan}"
+    # operator order bottom-up: Sort -> Window -> Filter -> ArrowEvalPython
+    i_win, i_filt, i_py = plan.index("Window"), plan.index("Filter"), plan.index("ArrowEvalPython")
+    assert i_py < i_filt < i_win, f"extraction must sit above the winner filter:\n{plan}"
+    # row-count sanity: one winner per distinct url
+    assert out.count() == 200
