@@ -61,6 +61,21 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--compact", action="store_true",
                     help="run table compaction (all buckets) instead of "
                          "ingesting; prints compaction metrics")
+    ap.add_argument("--expire", action="store_true",
+                    help="run snapshot retention / orphan-file GC instead of "
+                         "ingesting (expire all but the newest "
+                         "--expire-keep-last snapshots, reclaim their data "
+                         "files and crash-orphaned write dirs)")
+    ap.add_argument("--expire-keep-last", type=int, default=None,
+                    help="retention depth: snapshots to keep (default 2 for "
+                         "--expire; when set alongside ingest, retention "
+                         "runs automatically after each applied batch so "
+                         "on-disk bytes stay bounded over a sustained "
+                         "stream)")
+    ap.add_argument("--orphan-grace-s", type=float, default=None,
+                    help="minimum age before an unreferenced data file is "
+                         "treated as a crash orphan and deleted "
+                         "(default 3600; protects in-flight writes)")
     ap.add_argument("--master", default=None)
     return ap.parse_args(argv)
 
@@ -72,7 +87,8 @@ def load_config(ns: argparse.Namespace) -> dict:
             cfg = json.load(fh)
     for k in ("table_root", "wal_dir", "checkpoint_dir", "runner", "merge_mode",
               "merge_strategy", "dedup_strategy", "n_buckets", "lateness_s",
-              "max_files_per_trigger", "auto_compact", "master"):
+              "max_files_per_trigger", "auto_compact", "expire_keep_last",
+              "orphan_grace_s", "master"):
         v = getattr(ns, k, None)
         if v is not None:
             cfg[k] = v
@@ -80,13 +96,15 @@ def load_config(ns: argparse.Namespace) -> dict:
         cfg["replace"] = True
     if ns.compact:
         cfg["compact"] = True
+    if ns.expire:
+        cfg["expire"] = True
     cfg.setdefault("runner", "tail")
     cfg.setdefault("merge_strategy", "mor")
     cfg.setdefault("merge_mode", "overwrite")
     cfg.setdefault("dedup_strategy", "agg")
     cfg.setdefault("n_buckets", 64)
     cfg.setdefault("auto_compact", 8)
-    if cfg.get("compact"):
+    if cfg.get("compact") or cfg.get("expire"):
         if not cfg.get("table_root"):
             raise SystemExit("missing required config: table_root")
         return cfg
@@ -111,6 +129,21 @@ def run_compact(cfg: dict, spark=None) -> dict:
         if owns_spark:
             spark.stop()
     return {"status": "ok", "verb": "compact", **metrics}
+
+
+def run_expire(cfg: dict) -> dict:
+    """Standalone retention verb: expire old snapshots, reclaim their data
+    files and crash-orphaned write directories. No Spark job needed —
+    pure metadata + filesystem work."""
+    from .lake.maintenance import expire_snapshots
+
+    table = IceletTable(None, cfg["table_root"])
+    metrics = expire_snapshots(
+        table,
+        keep_last=int(cfg.get("expire_keep_last", 2)),
+        orphan_grace_s=float(cfg.get("orphan_grace_s", 3600.0)),
+    )
+    return {"status": "ok", "verb": "expire", **metrics}
 
 
 def run(cfg: dict, spark=None) -> dict:
@@ -150,19 +183,25 @@ def run(cfg: dict, spark=None) -> dict:
 
     alert = AlertHook(root=job.table_root, job_name="cdc-ingest")
     auto_compact = int(cfg.get("auto_compact", 8)) or None  # 0 disables
+    expire_keep_last = cfg.get("expire_keep_last")  # None = retention off
+    if expire_keep_last is not None:
+        expire_keep_last = int(expire_keep_last) or None
+    orphan_grace_s = float(cfg.get("orphan_grace_s", 3600.0))
     try:
         if cfg["runner"] == "stream":
             results = run_stream(
                 table, job.wal_dir, job.checkpoint_dir, mode=job.merge_mode,
                 dedup_strategy=job.dedup_strategy, lateness_s=job.lateness_s,
                 max_files_per_trigger=job.max_files_per_trigger,
-                auto_compact=auto_compact,
+                auto_compact=auto_compact, expire_keep_last=expire_keep_last,
+                orphan_grace_s=orphan_grace_s,
             )
         else:
             results = tail_segments(
                 table, job.wal_dir, rename_hints=job.rename_hints or None,
                 mode=job.merge_mode, dedup_strategy=job.dedup_strategy,
                 lateness_s=job.lateness_s, auto_compact=auto_compact,
+                expire_keep_last=expire_keep_last, orphan_grace_s=orphan_grace_s,
             )
     except BaseException as exc:
         alert.fire(exc, {"config": {k: v for k, v in cfg.items()}})
@@ -191,7 +230,12 @@ def run(cfg: dict, spark=None) -> dict:
 def main(argv: list[str] | None = None) -> int:
     cfg = load_config(parse_args(argv))
     try:
-        summary = run_compact(cfg) if cfg.get("compact") else run(cfg)
+        if cfg.get("expire"):
+            summary = run_expire(cfg)
+        elif cfg.get("compact"):
+            summary = run_compact(cfg)
+        else:
+            summary = run(cfg)
     except SystemExit:
         raise
     except BaseException as exc:

@@ -96,10 +96,10 @@ def apply_batch(
     (operators/lww.py) before merging — a single key's rows would
     otherwise all land in one task (one bucket partition under the fused
     path, one hash partition under COW's skinny join) and straggle or
-    spill. The routing decision is recorded in metrics. Caveat: the salted
-    pre-reduce resolves duplicate (key, version) deliveries arbitrarily
-    instead of failing loudly — acceptable only because a duplicate lsn is
-    already out of WAL contract."""
+    spill. The routing decision is recorded in metrics. WAL-integrity
+    (duplicate (key, warc_ts, lsn) delivery) raises loudly from the same
+    skinny stats pass BEFORE any merge path runs, so enforcement is
+    uniform across COW, MOR, and hot-key-salted batches."""
     t0 = time.monotonic()
     phase_t: dict[str, float] = {}
 
@@ -177,7 +177,8 @@ def apply_batch(
         sel.append(
             (F.col(src) if src is not None else F.lit(None)).cast(f.type).alias(f.name)
         )
-    normalized = batch.select(*sel)
+    norm_bid = batch.select(*sel, F.col("batch_id"))
+    normalized = norm_bid.drop("batch_id")
 
     if not touched:  # nothing survived late-drop/replay: commit markers only
         new_snap = table.commit([], set(), new_ids, cur if evo.changed else None,
@@ -187,29 +188,60 @@ def apply_batch(
         return ApplyResult(False, new_snap.version, metrics, seg_stats)
 
     # ---- action 2: winner/delete counts over the SKINNY projection only
-    # (key, version, op — Catalyst prunes html out of the scan; map-side
-    # combinable two-level aggregation, so it is shuffle-light at any
-    # scale). WAL-integrity (duplicate (key, warc_ts, lsn) deliveries) is
-    # enforced elsewhere: the fused MOR pass fails loudly on adjacent
-    # duplicate versions (cdc/fused.py), and the COW path keeps the
-    # dropDuplicates guard (unique_versions=False below).
+    # (key, version, op, batch_id — Catalyst prunes html out of the scan;
+    # map-side combinable two-level aggregation, so it is shuffle-light at
+    # any scale). Three things ride along for free on the same pass:
+    # - WAL-integrity: per key, row count vs distinct-version count — a
+    #   mismatch means duplicate (key, warc_ts, lsn) delivery with
+    #   potentially divergent payloads, and the apply raises PRE-merge.
+    #   Checking here (not in the merge) keeps the failure loud and
+    #   UNIFORM across COW, MOR and hot-key-salted batches — the salted
+    #   pre-reduce would otherwise collapse duplicates arbitrarily before
+    #   the fused pass's adjacent-duplicate check could see them.
+    # - hot-key detection (max rows per key);
+    # - per-SEGMENT winner attribution: the winning row's batch_id, so
+    #   multi-segment lineage rows carry their own counts instead of
+    #   copies of the batch totals.
     ver = F.struct(*[F.col(c) for c in order_cols])
-    wrow = (
-        normalized.groupBy(key)
+    seg_rows = (
+        norm_bid.select(key, OP_COL, "batch_id", *order_cols)
+        .groupBy(key)
         .agg(
-            F.max_by(F.col(OP_COL), ver).alias("_op"),
+            F.max_by(
+                F.struct(F.col(OP_COL).alias("op"), F.col("batch_id").alias("bid")),
+                ver,
+            ).alias("_w"),
             F.count(F.lit(1)).alias("_kn"),
+            F.countDistinct(ver).alias("_kd"),
         )
+        .groupBy(F.col("_w.bid").alias("batch_id"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("_op") == "D").cast("long")).alias("n_del"),
+            F.sum((F.col("_w.op") == "D").cast("long")).alias("n_del"),
             F.max("_kn").alias("max_key_rows"),
+            F.max(F.col("_kn") - F.col("_kd")).alias("max_dup"),
         )
-        .collect()[0]
+        .collect()
     )
-    n_winners, n_deletes = int(wrow["n"]), int(wrow["n_del"] or 0)
-    max_key_rows = int(wrow["max_key_rows"] or 0)
+    if any(int(r["max_dup"] or 0) > 0 for r in seg_rows):
+        raise RuntimeError(
+            "WAL integrity violation: duplicate (key, "
+            f"{', '.join(order_cols)}) delivered within one batch; "
+            "lsn must be a unique sequence number"
+        )
+    n_winners = sum(int(r["n"]) for r in seg_rows)
+    n_deletes = sum(int(r["n_del"] or 0) for r in seg_rows)
+    max_key_rows = max((int(r["max_key_rows"] or 0) for r in seg_rows), default=0)
     hot = max_key_rows > hot_key_threshold
+    by_bid = {int(r["batch_id"]): r for r in seg_rows}
+    for d in seg_stats:
+        r = by_bid.get(int(d["batch_id"]))
+        d["winners"] = int(r["n"]) if r is not None else 0
+        d["delete_winners"] = int(r["n_del"] or 0) if r is not None else 0
+        d["conflicts_resolved"] = (
+            int(d["events_in"]) - int(d["late_dropped"] or 0) - d["winners"]
+        )
+        d["buckets_touched"] = len(d["buckets"] or [])
     _mark("t_winner_stats")
 
     # engine-computed columns (text from html) are extracted on the batch
@@ -256,10 +288,13 @@ def apply_batch(
         # LWW dedup + payload fetch join, then the bucket repartition with
         # post-shuffle extraction. Kept as a measured fallback to the fused
         # path (same outputs; one more payload exchange + scan).
+        # unique_versions=True: the skinny stats pass above already raised
+        # on any duplicate (key, version), so the dropDuplicates guard's
+        # payload re-shuffle would be pure waste.
         winners = lww_dedup(
             normalized, key, order_cols,
             strategy="salted" if hot else dedup_strategy,
-            unique_versions=False,
+            unique_versions=True,
         )
         out_cols = []
         is_del = F.col(OP_COL) == "D"
@@ -300,17 +335,17 @@ def apply_batch(
         # bucket-pruned target (tombstones included: a stale replayed event
         # must lose to a newer D; target projected to the evolved schema).
         # Per-batch LWW dedup first (conflicts resolved deterministically).
-        # unique_versions=False: the skinny fetch join would emit duplicate
-        # rows per key if a WAL violated lsn uniqueness, and the COW merge
-        # would silently commit them — the dropDuplicates guard collapses
-        # that case instead (the fused MOR path fails loudly on it).
+        # unique_versions=True: a WAL violating lsn uniqueness already
+        # raised loudly in the skinny stats pass above, so the fetch join
+        # cannot emit duplicate rows per key and the dropDuplicates
+        # guard's full payload re-shuffle (the r3 COW slowdown) is dropped.
         if mode == "coalesce":
             winners = _fold_partial_updates(normalized, key, order_cols)
         else:
             winners = lww_dedup(
                 normalized, key, order_cols,
                 strategy="salted" if hot else dedup_strategy,
-                unique_versions=False,
+                unique_versions=True,
             )
         for cname, src_col in computed.items():
             winners = winners.withColumn(
@@ -512,6 +547,11 @@ def _append_lineage(root: str, seg_stats: list[dict], metrics: dict, version: in
     os.makedirs(ldir, exist_ok=True)
     rows = []
     for d in seg_stats:
+        # winners/conflicts/deletes are PER-SEGMENT (attributed to the
+        # winning row's batch_id by the skinny stats pass) — lineage rows
+        # of a multi-segment batch sum to the batch totals instead of each
+        # duplicating them. rows_after stays batch-level: it is table
+        # state after the commit, not attributable to one segment.
         rows.append(
             {
                 "snapshot_version": version,
@@ -520,10 +560,16 @@ def _append_lineage(root: str, seg_stats: list[dict], metrics: dict, version: in
                 "late_dropped": int(d["late_dropped"] or 0),
                 "lsn_min": int(d["lsn_min"]) if d["lsn_min"] is not None else None,
                 "lsn_max": int(d["lsn_max"]) if d["lsn_max"] is not None else None,
-                "winners": metrics.get("winners"),
-                "conflicts_resolved": metrics.get("conflicts_resolved"),
-                "delete_winners": metrics.get("delete_winners"),
-                "buckets_touched": metrics.get("buckets_touched"),
+                "winners": d.get("winners", metrics.get("winners")),
+                "conflicts_resolved": d.get(
+                    "conflicts_resolved", metrics.get("conflicts_resolved")
+                ),
+                "delete_winners": d.get(
+                    "delete_winners", metrics.get("delete_winners")
+                ),
+                "buckets_touched": d.get(
+                    "buckets_touched", metrics.get("buckets_touched")
+                ),
                 "rows_after": metrics.get("rows_after"),
                 "wall_ms": metrics.get("wall_ms", 0),
                 "extractor_version": EXTRACTOR_VERSION,

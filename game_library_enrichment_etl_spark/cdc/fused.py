@@ -56,14 +56,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.extract import extract_text_udf
-from ..lake.table import BUCKET_COL, DELETED_COL, bucket_expr
-
-
-def write_salts(nparts: int, n_buckets: int) -> int:
-    """How many in-bucket salt shards the write should use: 1 while the
-    shuffle has fewer partitions than buckets (each bucket already gets at
-    most one task), else enough that ~every partition slot gets work."""
-    return max(1, -(-nparts // n_buckets))  # ceil
+from ..lake.table import (
+    BUCKET_COL,
+    DELETED_COL,
+    bucket_expr,
+    in_bucket_salt,
+    write_salts,
+)
 
 
 def fused_mor_winners(
@@ -86,7 +85,7 @@ def fused_mor_winners(
     part_exprs = [F.col(BUCKET_COL)]
     n_salts = write_salts(nparts, n_buckets)
     if n_salts > 1:
-        part_exprs.append(F.pmod(F.xxhash64(F.col(key)), F.lit(n_salts)))
+        part_exprs.append(in_bucket_salt(key, n_salts))
     w = Window.partitionBy(*part_exprs).orderBy(
         F.col(key).asc(), *[F.col(c).desc() for c in order_cols]
     )

@@ -19,8 +19,13 @@ incremental, non-destructive table service.
 
 from __future__ import annotations
 
+import os
+import re
+import time
+
 from pyspark.sql import functions as F
 
+from .snapshot import read_current_version, read_snapshot, snapshot_path
 from .table import BUCKET_COL, DELETED_COL, IceletTable, bucket_expr
 
 
@@ -30,7 +35,8 @@ def maybe_compact(
     expire_tombstones: bool = True,
 ) -> dict | None:
     """Auto-compaction trigger for merge-on-read: compact exactly the
-    buckets whose delta-file count exceeds ``max_files_per_bucket``.
+    buckets whose delta-COMMIT count exceeds ``max_files_per_bucket``
+    (one MOR apply appends one commit's files per touched bucket).
 
     MOR appends one delta file per bucket per batch (more with write
     salting), so a sustained 10^10-event stream would otherwise accumulate
@@ -45,10 +51,15 @@ def maybe_compact(
     Returns compact()'s metrics when triggered, None otherwise (the check
     itself is manifest-only — no Spark job, no file I/O)."""
     snap = table.snapshot()
-    counts: dict[int, int] = {}
+    # read-amplification is per-COMMIT, not per-file: the salted writer may
+    # leave several same-sequence files per bucket, which read without LWW
+    # resolution (keys never span files of one commit), so the trigger
+    # counts distinct commit sequences per bucket — otherwise a freshly
+    # compacted bucket holding n_salts files would re-compact every batch.
+    counts: dict[int, set[int]] = {}
     for f in snap.files:
-        counts[f.bucket] = counts.get(f.bucket, 0) + 1
-    todo = sorted(b for b, c in counts.items() if c > max_files_per_bucket)
+        counts.setdefault(f.bucket, set()).add(f.sequence)
+    todo = sorted(b for b, seqs in counts.items() if len(seqs) > max_files_per_bucket)
     if not todo:
         return None
     return compact(table, buckets=todo, expire_tombstones=expire_tombstones)
@@ -99,4 +110,109 @@ def compact(
         "rows_after": int(rows_after),
         "tombstones_expired": int(rows_before - rows_after),
         "snapshot_version": new_snap.version,
+    }
+
+
+# --------------------------------------------------------------- retention/GC
+_SNAP_RE = re.compile(r"^v(\d+)\.json$")
+
+
+def expire_snapshots(
+    table: IceletTable,
+    keep_last: int = 2,
+    orphan_grace_s: float = 3600.0,
+) -> dict:
+    """Snapshot retention + data-file GC — the reclamation verb the write
+    path defers to (lake/table.py ``create_or_replace``: replaced files
+    "are reclaimed by retention"). Without it every COW rewrite, every
+    compaction and every replace leaves its superseded parquet files on
+    disk forever, so a sustained 10^10-event MOR stream roughly doubles
+    storage without bound.
+
+    Semantics (Iceberg's ``expireSnapshots`` + ``removeOrphanFiles``,
+    re-expressed for the icelet layout):
+
+    - Retain the newest ``keep_last`` snapshots (the current one always
+      survives); delete older snapshot JSONs — time travel stays available
+      inside the retained window, reads of expired versions raise.
+    - Delete data files that were referenced ONLY by now-expired snapshots
+      (committed-then-superseded: these can never belong to an in-flight
+      write, so no grace period is needed).
+    - Sweep ORPHANS — files referenced by NO snapshot at all, i.e. crash
+      leftovers from a write that died before its snapshot commit — but
+      only when older than ``orphan_grace_s``: a concurrent apply writes
+      its data files BEFORE publishing the snapshot, and the grace window
+      is what keeps the sweep from racing it.
+
+    Pure metadata + filesystem work: no Spark job. Single-maintainer per
+    table assumed (same as compaction). Lineage files are never touched
+    (they are the audit trail, bytes are negligible).
+    """
+    root = table.root
+    cur = read_current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no icelet table at {root}")
+    keep_last = max(1, int(keep_last))
+    snapdir = os.path.join(root, "snapshots")
+    versions = sorted(
+        int(m.group(1))
+        for fn in os.listdir(snapdir)
+        if (m := _SNAP_RE.match(fn))
+    )
+    min_keep = cur - keep_last + 1
+    retained = [v for v in versions if v >= min_keep]
+    expired = [v for v in versions if v < min_keep]
+
+    live: set[str] = set()
+    for v in retained:
+        snap = read_snapshot(root, v)
+        live.update(f.path for f in snap.files)
+    expired_refs: set[str] = set()
+    for v in expired:
+        snap = read_snapshot(root, v)
+        expired_refs.update(f.path for f in snap.files)
+    dead = expired_refs - live
+
+    files_deleted = 0
+    bytes_reclaimed = 0
+    orphans_deleted = 0
+    now = time.time()
+    datadir = os.path.join(root, "data")
+    for base, _dirs, fns in os.walk(datadir):
+        for fn in fns:
+            p = os.path.join(base, fn)
+            rel = os.path.relpath(p, root)
+            if rel in live:
+                continue
+            try:
+                st = os.stat(p)
+            except FileNotFoundError:
+                continue
+            if rel in dead:
+                os.remove(p)
+                files_deleted += 1
+                bytes_reclaimed += st.st_size
+            elif now - st.st_mtime >= orphan_grace_s:
+                # referenced by no snapshot: crash orphan (or a writer
+                # marker like _SUCCESS in a superseded dir) past grace
+                os.remove(p)
+                orphans_deleted += 1
+                bytes_reclaimed += st.st_size
+
+    dirs_removed = 0
+    for base, dirs_, fns in os.walk(datadir, topdown=False):
+        if base != datadir and not dirs_ and not fns:
+            os.rmdir(base)
+            dirs_removed += 1
+
+    for v in expired:
+        os.remove(snapshot_path(root, v))
+
+    return {
+        "snapshots_expired": len(expired),
+        "snapshots_retained": len(retained),
+        "data_files_deleted": int(files_deleted),
+        "orphans_deleted": int(orphans_deleted),
+        "bytes_reclaimed": int(bytes_reclaimed),
+        "dirs_removed": int(dirs_removed),
     }

@@ -17,6 +17,7 @@ read / merge-commit / snapshot) so a real Iceberg catalog could slot in.
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 from functools import reduce
 
@@ -36,11 +37,37 @@ from .snapshot import (
 BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"
 
+# spark.sql.maxConcurrentOutputFileWriters is a session-global SQL conf with
+# no per-write DataFrameWriter option; the set/write/restore window is
+# guarded so a concurrent apply/compaction sharing the SparkSession can
+# neither observe nor clobber the temporary value.
+_WRITER_CONF_LOCK = threading.Lock()
+
 
 def bucket_expr(key_col: str, n_buckets: int):
     """Deterministic bucket id for a key — the explicit repartition target
     (north_rule: explicit partitioning by hash(url))."""
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def write_salts(nparts: int, n_buckets: int) -> int:
+    """How many in-bucket salt shards a bucket-partitioned write should
+    use: 1 while the shuffle has fewer partitions than buckets (each
+    bucket already gets at most one task), else enough that ~every
+    partition slot gets work instead of capping write parallelism at
+    n_buckets."""
+    return max(1, -(-nparts // n_buckets))  # ceil
+
+
+def in_bucket_salt(key_col: str, n_salts: int):
+    """In-bucket write-salt shard for a key — a pure key function (so the
+    colocation invariant and one-file-per-key-per-commit both hold), drawn
+    from a hash INDEPENDENT of the bucket hash: seeding xxhash64 with a
+    literal decorrelates it from ``pmod(xxhash64(key), n_buckets)``. A
+    salt taken from the same hash value collapses to one shard per bucket
+    whenever n_salts divides n_buckets (the typical power-of-two case),
+    silently re-capping write parallelism at n_buckets."""
+    return F.pmod(F.xxhash64(F.lit("_salt"), F.col(key_col)), F.lit(n_salts))
 
 
 class IceletTable:
@@ -200,11 +227,18 @@ class IceletTable:
                 empty = empty.drop(DELETED_COL)
             return empty
 
-        per_bucket: dict[int, int] = {}
+        # LWW resolution is needed only when a key could span two files of
+        # its bucket. Within ONE commit that is impossible (bucket and the
+        # in-bucket write salt are both pure key functions), so the trigger
+        # is a bucket holding files from MORE THAN ONE commit sequence —
+        # not a bucket holding more than one file. This keeps reads
+        # resolution-free right after compaction even when the salted
+        # writer folded a bucket into several same-sequence files.
+        per_bucket: dict[int, set[int]] = {}
         for f in files:
-            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+            per_bucket.setdefault(f.bucket, set()).add(f.sequence)
         mor = snap.properties.get("merge_strategy", "cow") == "mor"
-        needs_resolve = mor and max(per_bucket.values()) > 1
+        needs_resolve = mor and max(len(s) for s in per_bucket.values()) > 1
 
         # group files by (schema version, sequence) they were written under
         # and re-project by field id (rename/widen are metadata-only);
@@ -280,12 +314,24 @@ class IceletTable:
         key = self.key_col
         rel_dir = os.path.join("data", f"v{version}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel_dir)
-        # hash-repartition on _bucket => each bucket's rows land in exactly
-        # one task => exactly one file per touched bucket (no tiny files);
-        # rows sorted by key within each file so parquet row-group stats
-        # enable key-range skipping on point lookups.
+        # hash-repartition on (_bucket, in-bucket salt(key)): each
+        # (bucket, salt) shard lands in exactly one task, so write
+        # parallelism is min(nparts, n_buckets * n_salts) instead of being
+        # capped at n_buckets (the r3 cap on COW merges and compaction) —
+        # at most n_salts files per bucket per commit, and a key never
+        # spans two shards (salt is a pure key function), so COW stays
+        # resolution-free and compaction output still reads without
+        # LWW resolution (all files share one sequence). Rows sorted by
+        # (bucket, key) within each task so the partitionBy writer emits
+        # one file per bucket per task and parquet row-group stats enable
+        # key-range skipping on point lookups.
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        staged = df.repartition(nparts, BUCKET_COL).sortWithinPartitions(BUCKET_COL, key)
+        n_buckets = self.snapshot().n_buckets
+        n_salts = write_salts(nparts, n_buckets)
+        part_cols = [F.col(BUCKET_COL)]
+        if n_salts > 1:
+            part_cols.append(in_bucket_salt(key, n_salts))
+        staged = df.repartition(nparts, *part_cols).sortWithinPartitions(BUCKET_COL, key)
         if post_shuffle is not None:
             # optional projection applied AFTER the exchange+sort (e.g. the
             # html->text UDF on the "join" MOR path, so text bytes are
@@ -312,12 +358,13 @@ class IceletTable:
         n_buckets."""
         rel_dir = os.path.join("data", f"v{version}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel_dir)
-        prev = self.spark.conf.get("spark.sql.maxConcurrentOutputFileWriters", "0")
-        self.spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "128")
-        try:
-            df.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(out)
-        finally:
-            self.spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", prev)
+        with _WRITER_CONF_LOCK:
+            prev = self.spark.conf.get("spark.sql.maxConcurrentOutputFileWriters", "0")
+            self.spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "128")
+            try:
+                df.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(out)
+            finally:
+                self.spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", prev)
         return self._harvest_manifest_entries(out, schema_version, version)
 
     def _harvest_manifest_entries(

@@ -147,7 +147,14 @@ def decode_binary_column(
         bb = bytes(b)
         hdr = parse_image_header(bb)
         if real and hdr is not None:
-            return _real_decode_one(bb)
+            # a blob whose container header parses can still have a
+            # truncated/corrupt body; a PIL raise inside mapInPandas would
+            # fail the whole stage, so fall back to the header-based stub
+            # row like every other malformed input
+            try:
+                return _real_decode_one(bb)
+            except Exception:
+                pass
         if hdr is not None:  # real container format: true dimensions
             _, w, h = hdr
             head = np.frombuffer(bb[:32].ljust(32, b"\0"), dtype=np.uint8).astype(np.float32)

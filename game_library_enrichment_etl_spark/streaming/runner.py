@@ -49,6 +49,8 @@ def run_stream(
     on_batch: Callable[[int, ApplyResult], None] | None = None,
     fail_after_batches: int | None = None,
     auto_compact: int | None = 8,
+    expire_keep_last: int | None = None,
+    orphan_grace_s: float = 3600.0,
 ):
     """Run the Structured Streaming apply loop until all currently-available
     segments are processed (availableNow trigger), then return the results.
@@ -75,7 +77,7 @@ def run_stream(
             table, df, mode=mode, dedup_strategy=dedup_strategy, lateness_s=lateness_s
         )
         results.append(res)
-        _maybe_auto_compact(table, res, auto_compact)
+        _maybe_auto_compact(table, res, auto_compact, expire_keep_last, orphan_grace_s)
         if on_batch is not None:
             on_batch(epoch_id, res)
         if fail_after_batches is not None and len(results) >= fail_after_batches:
@@ -106,16 +108,38 @@ def run_stream(
     return results
 
 
-def _maybe_auto_compact(table: IceletTable, res: ApplyResult, threshold: int | None) -> None:
+def _maybe_auto_compact(
+    table: IceletTable,
+    res: ApplyResult,
+    threshold: int | None,
+    expire_keep_last: int | None = None,
+    orphan_grace_s: float = 3600.0,
+) -> None:
     """Post-apply MOR maintenance: bound per-bucket delta-file count (and
-    with it read-time LWW resolution cost) over a sustained stream."""
-    if threshold is None or res.skipped or table.merge_strategy != "mor":
+    with it read-time LWW resolution cost) over a sustained stream.
+    ``expire_keep_last`` additionally bounds ON-DISK bytes: after each
+    applied batch, snapshots older than the newest N are expired and their
+    superseded data files reclaimed (lake/maintenance.expire_snapshots) —
+    without it a sustained stream's storage grows without bound even with
+    compaction, because superseded files are only dereferenced, never
+    deleted. Opt-in (None disables) since it trades time-travel depth for
+    bounded storage."""
+    if res.skipped:
         return
-    from ..lake.maintenance import maybe_compact
+    if threshold is not None and table.merge_strategy == "mor":
+        from ..lake.maintenance import maybe_compact
 
-    m = maybe_compact(table, max_files_per_bucket=threshold)
-    if m is not None:
-        res.metrics["compaction"] = m
+        m = maybe_compact(table, max_files_per_bucket=threshold)
+        if m is not None:
+            res.metrics["compaction"] = m
+    if expire_keep_last is not None:
+        from ..lake.maintenance import expire_snapshots
+
+        e = expire_snapshots(
+            table, keep_last=expire_keep_last, orphan_grace_s=orphan_grace_s
+        )
+        if e["snapshots_expired"] or e["data_files_deleted"] or e["orphans_deleted"]:
+            res.metrics["retention"] = e
 
 
 _SEG_NUM = re.compile(r"(\d+)")
@@ -140,6 +164,8 @@ def tail_segments(
     lateness_s: int | None = None,
     max_segments: int | None = None,
     auto_compact: int | None = 8,
+    expire_keep_last: int | None = None,
+    orphan_grace_s: float = 3600.0,
 ) -> list[ApplyResult]:
     """Apply every not-yet-applied segment file in order (evolution-capable).
 
@@ -163,7 +189,7 @@ def tail_segments(
             lateness_s=lateness_s,
         )
         results.append(res)
-        _maybe_auto_compact(table, res, auto_compact)
+        _maybe_auto_compact(table, res, auto_compact, expire_keep_last, orphan_grace_s)
         if not res.skipped:
             n += 1
             if max_segments is not None and n >= max_segments:

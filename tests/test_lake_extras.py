@@ -71,3 +71,115 @@ def test_crash_before_pointer_swap_invisible(spark, tmp_path):
     # completing the swap publishes it atomically
     swing_pointer(t.root, v + 1)
     assert read_snapshot(t.root).version == v + 1
+
+
+def test_in_bucket_salt_decorrelated_from_bucket(spark):
+    """ADVICE r3 medium: the in-bucket write salt must come from a hash
+    independent of the bucket hash — with the old same-hash derivation,
+    n_salts dividing n_buckets made the salt constant per bucket and the
+    documented write-parallelism uncapping silently never engaged."""
+    from pyspark.sql import functions as F
+
+    from game_library_enrichment_etl_spark.lake.table import (
+        bucket_expr,
+        in_bucket_salt,
+    )
+
+    n_buckets, n_salts = 16, 4  # n_salts divides n_buckets: the failing case
+    df = spark.range(2000).select(
+        F.concat(F.lit("https://example.com/p"), F.col("id")).alias("url")
+    )
+    rows = df.select(
+        bucket_expr("url", n_buckets).alias("b"),
+        in_bucket_salt("url", n_salts).alias("s"),
+    ).groupBy("b").agg(F.countDistinct("s").alias("ns")).collect()
+    assert len(rows) == n_buckets
+    # every bucket's keys must spread over >1 salt shard (with 125 keys per
+    # bucket and 4 shards, a single-shard bucket is ~impossible unless the
+    # salt is degenerate)
+    assert all(r["ns"] > 1 for r in rows), rows
+
+
+def test_salted_write_uncaps_files_and_preserves_reads(spark, tmp_path):
+    """VERDICT r3 wrong #4: COW merges and compaction write through
+    write_data_files, whose parallelism was capped at one task per bucket.
+    With in-bucket salting (n_buckets < shuffle partitions) a bucket's rows
+    split across several same-commit files; reads stay resolution-free and
+    correct because the salt is a pure key function."""
+    import pandas as pd
+
+    from game_library_enrichment_etl_spark.cdc.apply import apply_batch
+    from game_library_enrichment_etl_spark.cdc.tables import create_pages_table
+    from game_library_enrichment_etl_spark.datagen import (
+        gen_change_events,
+        write_change_segments,
+    )
+    from model_oracle import model_final_state
+
+    ev = gen_change_events(800, 120, seed=61, delete_frac=0.05)
+    paths = write_change_segments(str(tmp_path / "wal"), ev.drop(columns=["title"]), 2)
+    # n_buckets=2 << shuffle partitions => n_salts=8 on the capped path
+    # (16/2; enough shards that hash-collapsing them all into one task per
+    # bucket is ~impossible — with the session's 4 partitions the 2x2
+    # groups can legitimately collide pairwise)
+    t = create_pages_table(spark, str(tmp_path / "pages"), n_buckets=2)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        for p in paths:
+            apply_batch(t, spark.read.parquet(p))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    per_bucket: dict[int, int] = {}
+    for f in t.snapshot().files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert max(per_bucket.values()) > 1, (
+        "salting never engaged: write parallelism still capped at n_buckets"
+    )
+
+    got = t.read().toPandas().sort_values("url").reset_index(drop=True)
+    want = model_final_state(ev)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["lsn"]) == list(want["lsn"])
+    assert list(got["text"]) == list(want["text"])
+
+
+def test_mor_compaction_output_reads_without_resolution(spark, tmp_path):
+    """The salted writer can leave several same-sequence files per bucket
+    after compaction; the read must recognize them as resolution-free
+    (keys never span files of one commit) — otherwise every post-compaction
+    read would pay the LWW resolve forever."""
+    from game_library_enrichment_etl_spark.cdc.apply import apply_batch
+    from game_library_enrichment_etl_spark.cdc.tables import create_pages_table
+    from game_library_enrichment_etl_spark.datagen import (
+        gen_change_events,
+        write_change_segments,
+    )
+    from game_library_enrichment_etl_spark.lake.maintenance import compact
+
+    ev = gen_change_events(800, 120, seed=62)
+    paths = write_change_segments(str(tmp_path / "wal"), ev.drop(columns=["title"]), 4)
+    t = create_pages_table(
+        spark, str(tmp_path / "pages"), n_buckets=2, merge_strategy="mor"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")  # n_salts=8, see above
+    try:
+        for p in paths:
+            apply_batch(t, spark.read.parquet(p))
+        compact(t)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    snap = t.snapshot()
+    seqs_per_bucket: dict[int, set] = {}
+    files_per_bucket: dict[int, int] = {}
+    for f in snap.files:
+        seqs_per_bucket.setdefault(f.bucket, set()).add(f.sequence)
+        files_per_bucket[f.bucket] = files_per_bucket.get(f.bucket, 0) + 1
+    assert max(len(s) for s in seqs_per_bucket.values()) == 1
+    assert max(files_per_bucket.values()) > 1, "salting should have engaged"
+    # resolution-free plan: no join/aggregate/window nodes — scan+filter only
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan and "Window" not in plan
+    assert t.read().count() > 0
