@@ -32,9 +32,14 @@ def main():
     strategy = sys.argv[6] if len(sys.argv) > 6 else "mor"
     quiet_pct = 2.0
 
+    # r3 verdict: one clean pair out of 8 is provisional evidence, not a met
+    # criterion — the headline must be the MEDIAN of >=target_quiet paired
+    # attempts where BOTH levels ran quiet.
+    target_quiet = int(os.environ.get("HUNT_TARGET_QUIET", "3"))
+
     wal = gen_wal(n_events, n_seg)
     t_end = time.monotonic() + deadline_min * 60
-    best_quiet = None  # (eff, r_lo, r_hi)
+    quiet_pairs: list[tuple[float, dict, dict]] = []
     best_calm = None  # lowest max-steal pair (the most trustworthy non-quiet)
     attempt = 0
     while time.monotonic() < t_end:
@@ -61,18 +66,25 @@ def main():
         steal = max(r_lo["host_steal_pct"], r_hi["host_steal_pct"])
         if best_calm is None or steal < best_calm[0]:
             best_calm = (steal, eff, r_lo, r_hi)
-        if quiet and (best_quiet is None or eff > best_quiet[0]):
-            best_quiet = (eff, r_lo, r_hi)
-            if eff >= 0.8:
-                break  # target met in a quiet window; stop early
+        if quiet:
+            quiet_pairs.append((eff, r_lo, r_hi))
+            if len(quiet_pairs) >= target_quiet:
+                break  # enough quiet pairs for a median; stop
 
-    if best_quiet is not None:
-        _, r_lo, r_hi = best_quiet
+    if quiet_pairs:
+        # headline = the MEDIAN quiet pair (lower median for even counts —
+        # conservative), with every quiet efficiency reported alongside
+        quiet_pairs.sort(key=lambda t: t[0])
+        med_eff, r_lo, r_hi = quiet_pairs[(len(quiet_pairs) - 1) // 2]
     else:
         _, _, r_lo, r_hi = best_calm
     result = build_result(lo, hi, r_lo, r_hi, n_events, n_seg, strategy)
-    result["quiet_window"] = best_quiet is not None
+    result["quiet_window"] = bool(quiet_pairs)
     result["attempts"] = attempt
+    result["quiet_attempts"] = len(quiet_pairs)
+    result["quiet_efficiencies"] = [round(e, 3) for e, _, _ in quiet_pairs]
+    if quiet_pairs:
+        result["median_efficiency"] = round(med_eff, 3)
     print(json.dumps(result), flush=True)
     write_md(lo, hi, r_lo, r_hi, result, n_events, n_seg, strategy)
 

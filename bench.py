@@ -32,6 +32,21 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_steal_total() -> tuple[int, int]:
+    """(steal jiffies, total jiffies) from the host /proc/stat cpu line —
+    sampled around every worker so a noisy-neighbor burst is visible in the
+    artifact instead of silently folded into the timing (round-3 verdict:
+    the driver's cdc numbers diverged 3-11x from a same-harness self-check
+    with no way to adjudicate because workers recorded no steal)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError):  # non-Linux fallback: report 0 steal
+        return 0, 1
+
+
 def bench_cdc_apply(spark, sf_dir: str, n_segments: int = 8, strategy: str = "mor") -> dict:
     """Derive a change stream from the events table (shape: FIXTURES.md §2),
     split into segments, run the full apply loop into a fresh icelet table.
@@ -180,6 +195,22 @@ def run_worker(group: str, sf_dir: str, cpus: str) -> None:
             _force(fn(spark, sf_dir))
             times[name] = round(time.monotonic() - t0, 3)
         out["times"] = times
+        if group == "ann":
+            # ANN quality evidence (VERDICT r3 next #8): recall@5 of the
+            # SRP-LSH multiprobe path against the brute-force oracle at
+            # this SF — the quality knob is measured, not asserted. Tiny
+            # collects: 5 queries x 5 neighbors each.
+            truth = {
+                (r["query_id"], r["neighbor_id"])
+                for r in qs["embedding_topk_cosine"](spark, sf_dir).collect()
+            }
+            approx = {
+                (r["query_id"], r["neighbor_id"])
+                for r in qs["embedding_srp_ann_np"](spark, sf_dir).collect()
+            }
+            out["extras"] = {
+                "srp_recall_at_5": round(len(truth & approx) / max(len(truth), 1), 3)
+            }
     print("BENCH_WORKER_RESULT " + json.dumps(out), flush=True)
     spark.stop()
 
@@ -194,20 +225,61 @@ def main() -> None:
 
     times: dict[str, float] = {}
     extras: dict = {}
+    steal_pct: dict[str, list[float]] = {}
     here = os.path.abspath(__file__)
-    for group in ["cdc", *GROUPS]:
+
+    def _run_group(group: str) -> dict | None:
+        s0, t0 = _cpu_steal_total()
         proc = subprocess.run(
             [sys.executable, here, "--worker", group],
             capture_output=True, text=True,
         )
+        s1, t1 = _cpu_steal_total()
+        pct = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1)
+        steal_pct.setdefault(group, []).append(pct)
         if proc.returncode != 0:
             print(f"group {group} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
-            continue
+            return None
         line = [
             ln for ln in proc.stdout.splitlines()
             if ln.startswith("BENCH_WORKER_RESULT ")
         ][-1]
-        res = json.loads(line.split(" ", 1)[1])
+        return json.loads(line.split(" ", 1)[1])
+
+    def _median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        n = len(ys)
+        return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
+
+    # the headline cdc group runs n>=3 fresh-JVM attempts and reports the
+    # per-metric MEDIAN (each attempt's host steal recorded alongside): a
+    # single steal-crushed attempt can no longer masquerade as the
+    # engine's throughput, in either direction
+    cdc_reps = max(1, int(os.environ.get("SPARK_GRAFT_CDC_REPS", "3")))
+    cdc_attempts: list[dict] = []
+    for _ in range(cdc_reps):
+        res = _run_group("cdc")
+        if res is None:
+            continue
+        cdc_attempts.append(
+            {**res["times"], **res.get("extras", {}), "steal_pct": steal_pct["cdc"][-1]}
+        )
+    if cdc_attempts:
+        for k in cdc_attempts[0]:
+            vals = [a[k] for a in cdc_attempts if isinstance(a.get(k), (int, float))]
+            if not vals:
+                continue
+            m = round(_median(vals), 3)
+            if k in ("cdc_apply", "cdc_apply_cow"):
+                times[k] = m
+            elif k != "steal_pct":
+                extras[k] = m
+        extras["cdc_attempts"] = cdc_attempts
+
+    for group in GROUPS:
+        res = _run_group(group)
+        if res is None:
+            continue
         times.update(res["times"])
         extras.update(res.get("extras", {}))
 
@@ -224,6 +296,8 @@ def main() -> None:
                 **extras,
                 "cpus": int(cpus),
                 "isolation": "fresh JVM per query group",
+                "steal_pct": steal_pct,
+                "cdc_reps": cdc_reps,
             }
         )
     )

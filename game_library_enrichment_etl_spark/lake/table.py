@@ -193,6 +193,7 @@ class IceletTable:
         key_range: tuple[str, str] | None = None,
         include_deleted: bool = False,
         as_schema: "TableSchema | None" = None,
+        resolve: str = "window",
     ) -> DataFrame:
         """Read the table at a snapshot (time travel), optionally pruned to a
         bucket set and/or key range using manifest stats — no file listing,
@@ -204,9 +205,15 @@ class IceletTable:
 
         Under merge-on-read, a key may appear in several delta files of its
         bucket; the read resolves last-writer-wins per key by
-        (version_cols, file sequence). The resolution is skipped entirely
-        when every selected bucket holds at most one file (COW tables, or a
-        MOR table right after compaction) — then files are disjoint by
+        (version_cols, file sequence). ``resolve`` picks the physical
+        strategy: ``window`` (default — ONE payload exchange on the bucket
+        hash, partition-local sort, lag-based first-of-group filter; the
+        read-side twin of the fused write path) or ``skinny`` (two-phase
+        skinny-agg + payload fetch join — scans the delta files twice but
+        never sorts payload bytes; the r3 default, kept as a measured
+        fallback). Resolution is skipped entirely when every selected
+        bucket's files come from one commit sequence (COW tables, or a MOR
+        table right after compaction) — then files are disjoint by
         construction."""
         snap = self.snapshot(version)
         cur = as_schema if as_schema is not None else snap.schema
@@ -265,20 +272,65 @@ class IceletTable:
             parts.append(df.select(*cols))
         out = reduce(lambda a, b: a.unionByName(b), parts)
         if needs_resolve:
-            from ..operators.lww import lww_dedup
-
             order = tuple(snap.properties["version_cols"]) + ("_seq",)
-            # each data file holds at most one row per (key, version) — the
-            # apply wrote LWW winners — and _seq disambiguates across files,
-            # so (key, order) is unique and the dropDuplicates guard would
-            # only re-shuffle payload bytes for nothing
-            out = lww_dedup(
-                out, snap.properties["key"], order, strategy="skinny",
-                unique_versions=True,
+            out = self._resolve_lww(
+                out, snap.properties["key"], order, snap.n_buckets, resolve
             ).drop("_seq")
         if DELETED_COL in cur.names() and not include_deleted:
             out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return out
+
+    def _resolve_lww(
+        self,
+        df: DataFrame,
+        key: str,
+        order_cols: tuple[str, ...],
+        n_buckets: int,
+        resolve: str,
+    ) -> DataFrame:
+        """Read-time LWW resolution across a bucket's delta files.
+
+        ``window``: recompute the bucket (a pure key function — no stored
+        column needed), hash-partition on (_bucket[, salt(key)]), sort
+        partition-locally by (key ASC, version DESC), keep each key's first
+        row via the lag trick (cdc/fused.py's winner filter, reused on the
+        read side). ONE exchange of payload bytes, one scan of the delta
+        files — vs the skinny strategy's two scans + skinny-agg exchange +
+        payload fetch-join exchange. Bucket partitioning bounds skew the
+        same way the write does; the in-bucket salt keeps resolution
+        parallelism from capping at n_buckets on big clusters.
+        """
+        if resolve == "skinny":
+            from ..operators.lww import lww_dedup
+
+            # each data file holds at most one row per (key, version) — the
+            # apply wrote LWW winners — and _seq disambiguates across
+            # files, so (key, order) is unique and the dropDuplicates
+            # guard would only re-shuffle payload bytes for nothing
+            return lww_dedup(df, key, order_cols, strategy="skinny",
+                             unique_versions=True)
+        if resolve != "window":
+            raise ValueError(f"resolve must be window|skinny, got {resolve!r}")
+        from pyspark.sql import Window
+
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        src = df.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
+        part_exprs = [F.col(BUCKET_COL)]
+        n_salts = write_salts(nparts, n_buckets)
+        if n_salts > 1:
+            part_exprs.append(in_bucket_salt(key, n_salts))
+        w = Window.partitionBy(*part_exprs).orderBy(
+            F.col(key).asc(), *[F.col(c).desc() for c in order_cols]
+        )
+        prev_key = F.lag(F.col(key)).over(w)
+        is_first = (F.row_number().over(w) == 1) | (
+            ~prev_key.eqNullSafe(F.col(key))
+        )
+        return (
+            src.withColumn("_first", is_first)
+            .where(F.col("_first"))
+            .drop("_first", BUCKET_COL)
+        )
 
     def lookup(self, key_value: str, version: int | None = None) -> DataFrame:
         """Point lookup: prune to the key's single bucket via the pure-Python

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import struct
 
+import pytest
+
 from game_library_enrichment_etl_spark.operators.multimodal import (
     decode_binary_column,
     parse_image_header,
@@ -60,3 +62,39 @@ def test_decode_stage_uses_real_headers(spark):
     assert out[3]["width"] is not None and out[3]["n_bytes"] == 104
     assert out[4]["width"] is None and out[4]["n_bytes"] == 0
     assert len(out[1]["features"]) == 8
+
+
+def test_real_decode_failure_falls_back(spark, monkeypatch):
+    """ADVICE r3 low #4: with the real decoder enabled, a raise inside the
+    pixel decode (corrupt body — or, in this PIL-less container, the
+    missing import itself) must fall back to the header-based stub row
+    instead of failing the whole mapInPandas stage. The driver-side gate
+    is monkeypatched open; the executor-side _real_decode_one then raises
+    for real, exercising the try/except fallback end-to-end."""
+    import game_library_enrichment_etl_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "REAL_DECODER_AVAILABLE", True)
+    df = spark.createDataFrame(
+        [(1, bytearray(_png(12, 34)))], "doc_id bigint, blob binary"
+    )
+    out = decode_binary_column(df, real=True).collect()[0]
+    # header dims survive; the stage did not fail
+    assert (out["width"], out["height"]) == (12, 34)
+    assert len(out["features"]) == 8
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "game_library_enrichment_etl_spark.operators.multimodal",
+        fromlist=["REAL_DECODER_AVAILABLE"],
+    ).REAL_DECODER_AVAILABLE,
+    reason="PIL not installed in this container",
+)
+def test_real_decode_true_pixels(spark):
+    """Where PIL exists, the real path must decode true dimensions (the
+    container lacks PIL, so this is coverage for richer environments)."""
+    df = spark.createDataFrame(
+        [(1, bytearray(_png(12, 34)))], "doc_id bigint, blob binary"
+    )
+    out = decode_binary_column(df, real=True).collect()[0]
+    assert (out["width"], out["height"]) == (12, 34)
