@@ -197,20 +197,38 @@ def run_worker(group: str, sf_dir: str, cpus: str) -> None:
         out["times"] = times
         if group == "ann":
             # ANN quality evidence (VERDICT r3 next #8): recall@5 of the
-            # SRP-LSH multiprobe path against the brute-force oracle at
-            # this SF — the quality knob is measured, not asserted. Tiny
-            # collects: 5 queries x 5 neighbors each.
+            # SRP-LSH path against the brute-force oracle at this SF,
+            # measured at TWO probe settings so the quality knob (more
+            # probes -> higher recall, more candidates scored) is
+            # evidenced, not asserted. Context for absolute numbers: the
+            # synthetic embeddings are isotropic Gaussian — true top-5
+            # neighbors are barely above the cosine noise floor, the
+            # adversarial case for any LSH — so recall is best read
+            # against the fraction of corpus probed (chance): flips=1
+            # probes 9/256 buckets (~3.5% of corpus), flips=2 probes
+            # 37/256 (~14%). Tiny collects: 5 queries x 5 neighbors.
+            import pyspark.sql.functions as _F
+            from game_library_enrichment_etl_spark.operators import ann as _ANN
+
+            emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            qdf = emb.where(_F.col("vec_id") < 5)
             truth = {
                 (r["query_id"], r["neighbor_id"])
                 for r in qs["embedding_topk_cosine"](spark, sf_dir).collect()
             }
-            approx = {
-                (r["query_id"], r["neighbor_id"])
-                for r in qs["embedding_srp_ann_np"](spark, sf_dir).collect()
-            }
-            out["extras"] = {
-                "srp_recall_at_5": round(len(truth & approx) / max(len(truth), 1), 3)
-            }
+            extras = {}
+            for flips in (1, 2):
+                approx = {
+                    (r["query_id"], r["neighbor_id"])
+                    for r in _ANN.srp_lsh_topk(
+                        emb, qdf, k=5, n_bits=8, dim=64,
+                        multiprobe_flips=flips, vectorized=True,
+                    ).collect()
+                }
+                extras[f"srp_recall_at_5_flips{flips}"] = round(
+                    len(truth & approx) / max(len(truth), 1), 3
+                )
+            out["extras"] = extras
     print("BENCH_WORKER_RESULT " + json.dumps(out), flush=True)
     spark.stop()
 
@@ -255,9 +273,11 @@ def main() -> None:
     # per-metric MEDIAN (each attempt's host steal recorded alongside): a
     # single steal-crushed attempt can no longer masquerade as the
     # engine's throughput, in either direction
+    only = os.environ.get("SPARK_GRAFT_GROUPS")
+    wanted = set(only.split(",")) if only else None
     cdc_reps = max(1, int(os.environ.get("SPARK_GRAFT_CDC_REPS", "3")))
     cdc_attempts: list[dict] = []
-    for _ in range(cdc_reps):
+    for _ in range(cdc_reps if (wanted is None or "cdc" in wanted) else 0):
         res = _run_group("cdc")
         if res is None:
             continue
@@ -276,7 +296,11 @@ def main() -> None:
                 extras[k] = m
         extras["cdc_attempts"] = cdc_attempts
 
+    # SPARK_GRAFT_GROUPS=cdc,ann reruns a subset (quiet-window re-measures);
+    # unset = the full suite
     for group in GROUPS:
+        if wanted is not None and group not in wanted:
+            continue
         res = _run_group(group)
         if res is None:
             continue

@@ -279,6 +279,7 @@ def apply_batch(
         out = fused_mor_winners(
             merge_src, key, OP_COL, order_cols, cur.to_spark(),
             computed, snap.n_buckets,
+            batch_rows=int(events_in - late_dropped),
         )
         files = table.write_data_files_prepartitioned(
             out, snap.version + 1, cur.version
@@ -357,8 +358,14 @@ def apply_batch(
         out = _merge(target, winners, key, order_cols, cur, computed, mode)
         replaced = set(touched)
         out = out.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
-        # ---- action 3: write per-bucket files (COW rewrites touched buckets)
-        files = table.write_data_files(out, snap.version + 1, cur.version)
+        # ---- action 3: write per-bucket files (COW rewrites touched
+        # buckets). The manifest-derived row estimate lets the writer
+        # shard each bucket's sort to bounded memory (lake/table.py).
+        touched_rows = sum(f.rows for f in snap.files if f.bucket in replaced)
+        files = table.write_data_files(
+            out, snap.version + 1, cur.version,
+            expected_rows=touched_rows + n_winners,
+        )
     _mark("t_merge_write")
     if use_mor:
         # structural invariant check: the delta files must hold exactly one

@@ -61,7 +61,7 @@ from ..lake.table import (
     DELETED_COL,
     bucket_expr,
     in_bucket_salt,
-    write_salts,
+    resolve_salts,
 )
 
 
@@ -73,6 +73,7 @@ def fused_mor_winners(
     cur_schema: T.StructType,
     computed: dict[str, str],
     n_buckets: int,
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """normalized (op + payload columns, already cast to the evolved
     schema) -> bucket-partitioned winner rows ready for a pre-partitioned
@@ -83,7 +84,14 @@ def fused_mor_winners(
     src = normalized.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
 
     part_exprs = [F.col(BUCKET_COL)]
-    n_salts = write_salts(nparts, n_buckets)
+    # salt for slot occupancy AND sort-spill bounds: an oversized batch
+    # concentrated in few buckets would external-sort payload rows in one
+    # task otherwise (lake/table.resolve_salts; batch_rows/n_buckets is
+    # the hash-uniform per-bucket estimate)
+    n_salts = resolve_salts(
+        nparts, n_buckets,
+        -(-batch_rows // n_buckets) if batch_rows else None,
+    )
     if n_salts > 1:
         part_exprs.append(in_bucket_salt(key, n_salts))
     w = Window.partitionBy(*part_exprs).orderBy(

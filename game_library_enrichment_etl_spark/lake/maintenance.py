@@ -69,8 +69,23 @@ def compact(
     table: IceletTable,
     buckets: list[int] | None = None,
     expire_tombstones: bool = True,
+    fused: bool = True,
 ) -> dict:
     """Compact ``buckets`` (default: all buckets that have any file).
+
+    ``fused`` (default): resolution and rewrite share ONE payload exchange
+    and ONE sort — the raw delta rows (with their commit sequence) are
+    hash-partitioned on (_bucket, spill-bounded salt(key)), sorted
+    (key ASC, version DESC, seq DESC) once, LWW winners kept via the lag
+    filter (cdc/fused.py's trick), tombstones expired, and the stream is
+    written pre-partitioned with concurrent writers. The legacy path
+    (``fused=False``) reads-with-resolution then writes through
+    write_data_files — TWO payload exchanges + TWO sorts; kept as a
+    measured fallback. The salt count is derived from manifest row counts
+    (lake/table.resolve_salts), so a huge bucket's sort is sharded to
+    bounded memory even when shuffle partitions are few — without it a
+    4.5M-row 4-bucket compaction at local[2] external-sorted into 24x
+    super-linear wall time.
 
     Returns metrics: buckets compacted, rows before/after, tombstones
     expired (estimated from manifest row counts).
@@ -84,24 +99,57 @@ def compact(
     if not todo:
         return {"buckets": 0, "rows_before": 0, "rows_after": 0}
 
-    rows_before = sum(f.rows for f in snap.files if f.bucket in set(todo))
-    df = table.read(buckets=todo, include_deleted=True)
+    rows_per_bucket: dict[int, int] = {}
+    for f in snap.files:
+        if f.bucket in set(todo):
+            rows_per_bucket[f.bucket] = rows_per_bucket.get(f.bucket, 0) + f.rows
+    rows_before = sum(rows_per_bucket.values())
+    key = table.key_col
+
+    # STRICTLY below the watermark: apply_batch's late-drop predicate is
+    # ts < watermark (apply.py), so an event AT the watermark can still
+    # arrive — a tombstone with ts == watermark must survive expiry or a
+    # replayed stale event at the boundary would resurrect the row. With
+    # no watermark tracked, expiring any tombstone would let stale replays
+    # resurrect rows: keep them all.
+    dead = F.lit(False)
     if expire_tombstones and wm_us is not None:
-        # STRICTLY below the watermark: apply_batch's late-drop predicate is
-        # ts < watermark (apply.py), so an event AT the watermark can still
-        # arrive — a tombstone with ts == watermark must survive expiry or a
-        # replayed stale event at the boundary would resurrect the row.
         dead = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
             F.col(ts_col) < F.timestamp_micros(F.lit(int(wm_us)))
         )
-        df = df.where(~dead)
-    elif expire_tombstones and wm_us is None:
-        # no watermark tracked -> expiring any tombstone would let stale
-        # replays resurrect rows; keep them all
-        pass
 
-    out = df.withColumn(BUCKET_COL, bucket_expr(table.key_col, snap.n_buckets))
-    files = table.write_data_files(out, snap.version + 1, snap.schema.version)
+    if fused:
+        from pyspark.sql import Window
+
+        from .table import in_bucket_salt, resolve_salts
+
+        raw = table.read(buckets=todo, include_deleted=True, resolve="none")
+        src = raw.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
+        nparts = int(table.spark.conf.get("spark.sql.shuffle.partitions"))
+        n_salts = resolve_salts(
+            nparts, max(len(todo), 1), max(rows_per_bucket.values())
+        )
+        part_exprs = [F.col(BUCKET_COL)]
+        if n_salts > 1:
+            part_exprs.append(in_bucket_salt(key, n_salts))
+        order = [F.col(ts_col).desc(), F.col(lsn_col).desc(), F.col("_seq").desc()]
+        w = Window.partitionBy(*part_exprs).orderBy(F.col(key).asc(), *order)
+        prev_key = F.lag(F.col(key)).over(w)
+        is_first = (F.row_number().over(w) == 1) | (
+            ~prev_key.eqNullSafe(F.col(key))
+        )
+        out = (
+            src.withColumn("_first", is_first)
+            .where(F.col("_first") & ~dead)
+            .drop("_first", "_seq")
+        )
+        files = table.write_data_files_prepartitioned(
+            out, snap.version + 1, snap.schema.version
+        )
+    else:
+        df = table.read(buckets=todo, include_deleted=True).where(~dead)
+        out = df.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
+        files = table.write_data_files(out, snap.version + 1, snap.schema.version)
     new_snap = table.commit(files, set(todo), [], new_schema=None)
     rows_after = sum(f.rows for f in files)
     return {

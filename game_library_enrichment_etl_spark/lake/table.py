@@ -59,6 +59,26 @@ def write_salts(nparts: int, n_buckets: int) -> int:
     return max(1, -(-nparts // n_buckets))  # ceil
 
 
+# sort shards are kept at/under this many rows so partition-local sorts of
+# multi-KB payload rows stay in memory instead of external-sorting; tuned
+# for web-page rows (~1-4 KB) against multi-GB task memory — override per
+# call where payloads differ
+ROWS_PER_SORT_SHARD = 250_000
+
+
+def resolve_salts(
+    nparts: int, n_buckets: int, max_bucket_rows: int | None,
+    rows_per_shard: int = ROWS_PER_SORT_SHARD,
+) -> int:
+    """Shard count for a bucket-partitioned sort/window: enough shards to
+    (a) occupy every partition slot (write_salts) and (b) bound each
+    shard's rows so the sort never spills — whichever needs more."""
+    n = write_salts(nparts, n_buckets)
+    if max_bucket_rows:
+        n = max(n, -(-max_bucket_rows // rows_per_shard))  # ceil
+    return n
+
+
 def in_bucket_salt(key_col: str, n_salts: int):
     """In-bucket write-salt shard for a key — a pure key function (so the
     colocation invariant and one-file-per-key-per-commit both hold), drawn
@@ -242,14 +262,24 @@ class IceletTable:
         # resolution-free right after compaction even when the salted
         # writer folded a bucket into several same-sequence files.
         per_bucket: dict[int, set[int]] = {}
+        rows_per_bucket: dict[int, int] = {}
         for f in files:
             per_bucket.setdefault(f.bucket, set()).add(f.sequence)
+            rows_per_bucket[f.bucket] = rows_per_bucket.get(f.bucket, 0) + f.rows
         mor = snap.properties.get("merge_strategy", "cow") == "mor"
         needs_resolve = mor and max(len(s) for s in per_bucket.values()) > 1
+        max_bucket_rows = max(rows_per_bucket.values())
 
         # group files by (schema version, sequence) they were written under
         # and re-project by field id (rename/widen are metadata-only);
         # sequence rides along as _seq for MOR version-tie resolution.
+        # resolve="none" (internal; fused compaction) skips resolution and
+        # RETAINS _seq so the caller can fold resolution into its own
+        # exchange — tombstones must stay visible or older versions would
+        # leak through the caller's resolve.
+        if resolve == "none" and not include_deleted:
+            raise ValueError("resolve='none' requires include_deleted=True")
+        attach_seq = needs_resolve or resolve == "none"
         by_sv: dict[tuple[int, int], list[str]] = {}
         for f in files:
             by_sv.setdefault((f.schema_version, f.sequence), []).append(
@@ -267,14 +297,15 @@ class IceletTable:
                     cols.append(F.lit(None).cast(cf.type).alias(cf.name))
                 else:
                     cols.append(F.col(of.name).cast(cf.type).alias(cf.name))
-            if needs_resolve:
+            if attach_seq:
                 cols.append(F.lit(seq).cast("long").alias("_seq"))
             parts.append(df.select(*cols))
         out = reduce(lambda a, b: a.unionByName(b), parts)
-        if needs_resolve:
+        if needs_resolve and resolve != "none":
             order = tuple(snap.properties["version_cols"]) + ("_seq",)
             out = self._resolve_lww(
-                out, snap.properties["key"], order, snap.n_buckets, resolve
+                out, snap.properties["key"], order, snap.n_buckets, resolve,
+                max_bucket_rows=max_bucket_rows,
             ).drop("_seq")
         if DELETED_COL in cur.names() and not include_deleted:
             out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
@@ -287,6 +318,7 @@ class IceletTable:
         order_cols: tuple[str, ...],
         n_buckets: int,
         resolve: str,
+        max_bucket_rows: int | None = None,
     ) -> DataFrame:
         """Read-time LWW resolution across a bucket's delta files.
 
@@ -316,7 +348,13 @@ class IceletTable:
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         src = df.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
         part_exprs = [F.col(BUCKET_COL)]
-        n_salts = write_salts(nparts, n_buckets)
+        # spill-aware sharding: beyond matching the cluster's slot count,
+        # the salt must bound each shard's SORT buffer — a bucket holding
+        # millions of multi-KB payload rows would otherwise external-sort
+        # (measured 24x super-linear wall on a 4.5M-row 4-bucket table at
+        # local[2]). Manifest row counts are free, so the shard count is
+        # derived from data size, not just parallelism.
+        n_salts = resolve_salts(nparts, n_buckets, max_bucket_rows)
         if n_salts > 1:
             part_exprs.append(in_bucket_salt(key, n_salts))
         w = Window.partitionBy(*part_exprs).orderBy(
@@ -351,6 +389,7 @@ class IceletTable:
         version: int,
         schema_version: int,
         post_shuffle=None,
+        expected_rows: int | None = None,
     ) -> list[DataFileMeta]:
         """Write ``df`` (current-schema columns + ``_bucket``) as immutable
         per-bucket parquet files under a per-attempt unique directory
@@ -379,7 +418,13 @@ class IceletTable:
         # key-range skipping on point lookups.
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         n_buckets = self.snapshot().n_buckets
-        n_salts = write_salts(nparts, n_buckets)
+        # expected_rows (caller's estimate, e.g. touched-bucket manifest
+        # rows) also bounds each task's SORT: a huge bucket sorted in one
+        # task external-sorts multi-KB payload rows (see resolve_salts)
+        n_salts = resolve_salts(
+            nparts, n_buckets,
+            -(-expected_rows // n_buckets) if expected_rows else None,
+        )
         part_cols = [F.col(BUCKET_COL)]
         if n_salts > 1:
             part_cols.append(in_bucket_salt(key, n_salts))

@@ -164,13 +164,20 @@ def test_mor_compaction_output_reads_without_resolution(spark, tmp_path):
         spark, str(tmp_path / "pages"), n_buckets=2, merge_strategy="mor"
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "16")  # n_salts=8, see above
+    # AQE rightly coalesces this tiny test shuffle back to one partition
+    # per bucket (real compactions move GBs and never coalesce below the
+    # advisory size); disable coalescing so the multi-file-per-bucket
+    # invariant is actually exercised
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         for p in paths:
             apply_batch(t, spark.read.parquet(p))
         compact(t)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coal)
     snap = t.snapshot()
     seqs_per_bucket: dict[int, set] = {}
     files_per_bucket: dict[int, int] = {}

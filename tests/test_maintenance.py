@@ -68,3 +68,35 @@ def test_auto_compaction_bounds_read_amplification(spark, tmp_path):
     s_mor = mor.read().toPandas().sort_values("url").reset_index(drop=True).sort_index(axis=1)
     s_cow = cow.read().toPandas().sort_values("url").reset_index(drop=True).sort_index(axis=1)
     pd.testing.assert_frame_equal(s_mor, s_cow)
+
+
+def test_fused_compaction_equals_legacy(spark, tmp_path):
+    """Round-4 fused compaction (one payload exchange + one sort, winners
+    selected by the window lag filter, spill-bounded salt shards) must
+    produce exactly the state and metrics of the legacy two-exchange path."""
+    ev = gen_change_events(2000, 250, seed=71, delete_frac=0.12)
+    paths = write_change_segments(str(tmp_path / "wal"), ev.drop(columns=["title"]), 4)
+    roots = {}
+    for variant in ("fused", "legacy"):
+        t = create_pages_table(
+            spark, str(tmp_path / variant), n_buckets=4, merge_strategy="mor"
+        )
+        for p in paths:
+            apply_batch(t, spark.read.parquet(p), lateness_s=600)
+        roots[variant] = t
+
+    mf = compact(roots["fused"], fused=True)
+    ml = compact(roots["legacy"], fused=False)
+    assert mf["rows_before"] == ml["rows_before"]
+    assert mf["rows_after"] == ml["rows_after"]
+    assert mf["tombstones_expired"] == ml["tombstones_expired"] > 0
+
+    sf = roots["fused"].read().toPandas().sort_values("url").reset_index(drop=True)
+    sl = roots["legacy"].read().toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sf, sl)
+    # post-compaction reads are resolution-free under both variants
+    for t in roots.values():
+        seqs = {}
+        for f in t.snapshot().files:
+            seqs.setdefault(f.bucket, set()).add(f.sequence)
+        assert max(len(s) for s in seqs.values()) == 1
