@@ -61,7 +61,7 @@ from ..lake.table import (
     DELETED_COL,
     bucket_expr,
     in_bucket_salt,
-    resolve_salts,
+    sort_layout,
 )
 
 
@@ -84,16 +84,15 @@ def fused_mor_winners(
     src = normalized.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
 
     part_exprs = [F.col(BUCKET_COL)]
-    # salt for slot occupancy AND sort-spill bounds: an oversized batch
-    # concentrated in few buckets would external-sort payload rows in one
-    # task otherwise (lake/table.resolve_salts; batch_rows/n_buckets is
-    # the hash-uniform per-bucket estimate)
-    n_salts = resolve_salts(
-        nparts, n_buckets,
-        -(-batch_rows // n_buckets) if batch_rows else None,
-    )
+    # spill-aware layout (lake/table.sort_layout): the exchange partition
+    # count bounds each task's sorter to ~ROWS_PER_SORT_SHARD payload
+    # rows, and the salt lets buckets occupy those partitions; the
+    # explicit repartition's hashpartitioning satisfies the window's
+    # clustering requirement, so the plan still has exactly ONE exchange
+    n_parts, n_salts = sort_layout(nparts, n_buckets, batch_rows)
     if n_salts > 1:
         part_exprs.append(in_bucket_salt(key, n_salts))
+    src = src.repartition(n_parts, *part_exprs)
     w = Window.partitionBy(*part_exprs).orderBy(
         F.col(key).asc(), *[F.col(c).desc() for c in order_cols]
     )

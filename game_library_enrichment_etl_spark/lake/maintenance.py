@@ -121,17 +121,16 @@ def compact(
     if fused:
         from pyspark.sql import Window
 
-        from .table import in_bucket_salt, resolve_salts
+        from .table import in_bucket_salt, sort_layout
 
         raw = table.read(buckets=todo, include_deleted=True, resolve="none")
         src = raw.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
         nparts = int(table.spark.conf.get("spark.sql.shuffle.partitions"))
-        n_salts = resolve_salts(
-            nparts, max(len(todo), 1), max(rows_per_bucket.values())
-        )
+        n_parts, n_salts = sort_layout(nparts, max(len(todo), 1), rows_before)
         part_exprs = [F.col(BUCKET_COL)]
         if n_salts > 1:
             part_exprs.append(in_bucket_salt(key, n_salts))
+        src = src.repartition(n_parts, *part_exprs)
         order = [F.col(ts_col).desc(), F.col(lsn_col).desc(), F.col("_seq").desc()]
         w = Window.partitionBy(*part_exprs).orderBy(F.col(key).asc(), *order)
         prev_key = F.lag(F.col(key)).over(w)

@@ -66,17 +66,37 @@ def write_salts(nparts: int, n_buckets: int) -> int:
 ROWS_PER_SORT_SHARD = 250_000
 
 
-def resolve_salts(
-    nparts: int, n_buckets: int, max_bucket_rows: int | None,
+def sort_layout(
+    nparts: int,
+    n_buckets: int,
+    total_rows: int | None = None,
     rows_per_shard: int = ROWS_PER_SORT_SHARD,
-) -> int:
-    """Shard count for a bucket-partitioned sort/window: enough shards to
-    (a) occupy every partition slot (write_salts) and (b) bound each
-    shard's rows so the sort never spills — whichever needs more."""
-    n = write_salts(nparts, n_buckets)
-    if max_bucket_rows:
-        n = max(n, -(-max_bucket_rows // rows_per_shard))  # ceil
-    return n
+) -> tuple[int, int]:
+    """(exchange partitions, in-bucket salts) for a bucket-clustered SORT
+    stage (the fused write, the window read-resolve, fused compaction).
+
+    Two constraints, resolved together:
+    - PARTITION COUNT bounds each task's sorter: sorting happens per
+      exchange partition, so with only spark.sql.shuffle.partitions
+      partitions a low-parallelism run funnels millions of multi-KB
+      payload rows into one task's sorter and external-sorts (measured:
+      8M-event 4-bucket compaction at local[2] went 24x super-linear).
+      The exchange is therefore sized so a partition holds
+      ~rows_per_shard rows. Extra partitions beyond the core count just
+      queue — cheap; partitions beyond memory spill — ruinous.
+    - SALT COUNT lets buckets actually occupy those partitions: without
+      enough key shards per bucket the exchange's extra partitions stay
+      empty (a bucket is one hash group).
+
+    An explicit repartition(N, exprs) yields hashpartitioning(exprs, N),
+    which satisfies a window's clustering requirement over the same exprs
+    — no second exchange is planned — and AQE never coalesces an
+    explicitly-numbered repartition, so the layout holds as planned."""
+    n_parts = nparts
+    if total_rows:
+        n_parts = max(n_parts, -(-total_rows // rows_per_shard))  # ceil
+    n_salts = max(1, -(-n_parts // max(n_buckets, 1)))
+    return n_parts, n_salts
 
 
 def in_bucket_salt(key_col: str, n_salts: int):
@@ -268,7 +288,6 @@ class IceletTable:
             rows_per_bucket[f.bucket] = rows_per_bucket.get(f.bucket, 0) + f.rows
         mor = snap.properties.get("merge_strategy", "cow") == "mor"
         needs_resolve = mor and max(len(s) for s in per_bucket.values()) > 1
-        max_bucket_rows = max(rows_per_bucket.values())
 
         # group files by (schema version, sequence) they were written under
         # and re-project by field id (rename/widen are metadata-only);
@@ -305,7 +324,7 @@ class IceletTable:
             order = tuple(snap.properties["version_cols"]) + ("_seq",)
             out = self._resolve_lww(
                 out, snap.properties["key"], order, snap.n_buckets, resolve,
-                max_bucket_rows=max_bucket_rows,
+                total_rows=sum(rows_per_bucket.values()),
             ).drop("_seq")
         if DELETED_COL in cur.names() and not include_deleted:
             out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
@@ -318,7 +337,7 @@ class IceletTable:
         order_cols: tuple[str, ...],
         n_buckets: int,
         resolve: str,
-        max_bucket_rows: int | None = None,
+        total_rows: int | None = None,
     ) -> DataFrame:
         """Read-time LWW resolution across a bucket's delta files.
 
@@ -348,15 +367,15 @@ class IceletTable:
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         src = df.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
         part_exprs = [F.col(BUCKET_COL)]
-        # spill-aware sharding: beyond matching the cluster's slot count,
-        # the salt must bound each shard's SORT buffer — a bucket holding
-        # millions of multi-KB payload rows would otherwise external-sort
-        # (measured 24x super-linear wall on a 4.5M-row 4-bucket table at
-        # local[2]). Manifest row counts are free, so the shard count is
-        # derived from data size, not just parallelism.
-        n_salts = resolve_salts(nparts, n_buckets, max_bucket_rows)
+        # spill-aware layout (sort_layout): the exchange is sized from
+        # manifest row counts so each task's sorter holds a bounded row
+        # count, and the salt lets buckets occupy those partitions; the
+        # explicit repartition's hashpartitioning satisfies the window's
+        # clustering, so exactly ONE exchange is still planned
+        n_parts, n_salts = sort_layout(nparts, n_buckets, total_rows)
         if n_salts > 1:
             part_exprs.append(in_bucket_salt(key, n_salts))
+        src = src.repartition(n_parts, *part_exprs)
         w = Window.partitionBy(*part_exprs).orderBy(
             F.col(key).asc(), *[F.col(c).desc() for c in order_cols]
         )
@@ -419,16 +438,14 @@ class IceletTable:
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         n_buckets = self.snapshot().n_buckets
         # expected_rows (caller's estimate, e.g. touched-bucket manifest
-        # rows) also bounds each task's SORT: a huge bucket sorted in one
-        # task external-sorts multi-KB payload rows (see resolve_salts)
-        n_salts = resolve_salts(
-            nparts, n_buckets,
-            -(-expected_rows // n_buckets) if expected_rows else None,
-        )
+        # rows) sizes the exchange so each task's SORT holds a bounded
+        # row count — a huge bucket funneled into one task external-sorts
+        # multi-KB payload rows (see sort_layout)
+        n_parts, n_salts = sort_layout(nparts, n_buckets, expected_rows)
         part_cols = [F.col(BUCKET_COL)]
         if n_salts > 1:
             part_cols.append(in_bucket_salt(key, n_salts))
-        staged = df.repartition(nparts, *part_cols).sortWithinPartitions(BUCKET_COL, key)
+        staged = df.repartition(n_parts, *part_cols).sortWithinPartitions(BUCKET_COL, key)
         if post_shuffle is not None:
             # optional projection applied AFTER the exchange+sort (e.g. the
             # html->text UDF on the "join" MOR path, so text bytes are
