@@ -269,24 +269,63 @@ def main() -> None:
         n = len(ys)
         return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
 
+    # steal gating (VERDICT r4 next #8): the r4 artifact recorded steal but
+    # still reported medians polluted by 6-10%-steal groups, forcing manual
+    # driver-vs-selfcheck adjudication. Now a group whose run saw steal
+    # above the gate is re-run (bounded retries) and the LOWEST-steal
+    # attempt's numbers are kept; the final JSON stamps per-group retry
+    # counts so the artifact shows what was re-measured.
+    steal_gate = float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "5.0"))
+    retry_cap = max(0, int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2")))
+    retries_used: dict[str, int] = {}
+
+    def _run_group_gated(group: str) -> dict | None:
+        best: tuple[float, dict] | None = None
+        runs = 0
+        for _ in range(1 + retry_cap):
+            res = _run_group(group)
+            runs += 1
+            if res is not None:
+                pct = steal_pct[group][-1]
+                if best is None or pct < best[0]:
+                    best = (pct, res)
+                if pct <= steal_gate:
+                    break
+        if runs > 1:
+            retries_used[group] = runs - 1
+        return best[1] if best else None
+
     # the headline cdc group runs n>=3 fresh-JVM attempts and reports the
-    # per-metric MEDIAN (each attempt's host steal recorded alongside): a
-    # single steal-crushed attempt can no longer masquerade as the
-    # engine's throughput, in either direction
+    # per-metric MEDIAN (each attempt's host steal recorded alongside); an
+    # above-gate attempt earns the group bounded extra attempts, and the
+    # median is taken over the below-gate attempts when >=2 exist (else
+    # over all, loudly: "cdc_quiet_attempts" says which happened)
     only = os.environ.get("SPARK_GRAFT_GROUPS")
     wanted = set(only.split(",")) if only else None
     cdc_reps = max(1, int(os.environ.get("SPARK_GRAFT_CDC_REPS", "3")))
     cdc_attempts: list[dict] = []
-    for _ in range(cdc_reps if (wanted is None or "cdc" in wanted) else 0):
-        res = _run_group("cdc")
-        if res is None:
-            continue
-        cdc_attempts.append(
-            {**res["times"], **res.get("extras", {}), "steal_pct": steal_pct["cdc"][-1]}
-        )
+    if wanted is None or "cdc" in wanted:
+        extra_left = retry_cap
+        target = cdc_reps
+        while len(cdc_attempts) < target:
+            res = _run_group("cdc")
+            if res is None:
+                break
+            cdc_attempts.append(
+                {**res["times"], **res.get("extras", {}),
+                 "steal_pct": steal_pct["cdc"][-1]}
+            )
+            quiet_n = sum(1 for a in cdc_attempts if a["steal_pct"] <= steal_gate)
+            if len(cdc_attempts) == target and quiet_n < 2 and extra_left > 0:
+                extra_left -= 1  # earn one more attempt hunting a quiet one
+                target += 1
+        if extra_left != retry_cap:
+            retries_used["cdc"] = retry_cap - extra_left
     if cdc_attempts:
+        quiet = [a for a in cdc_attempts if a["steal_pct"] <= steal_gate]
+        pool = quiet if len(quiet) >= 2 else cdc_attempts
         for k in cdc_attempts[0]:
-            vals = [a[k] for a in cdc_attempts if isinstance(a.get(k), (int, float))]
+            vals = [a[k] for a in pool if isinstance(a.get(k), (int, float))]
             if not vals:
                 continue
             m = round(_median(vals), 3)
@@ -295,13 +334,15 @@ def main() -> None:
             elif k != "steal_pct":
                 extras[k] = m
         extras["cdc_attempts"] = cdc_attempts
+        extras["cdc_quiet_attempts"] = len(quiet)
+        extras["cdc_median_over"] = "quiet" if pool is quiet else "all"
 
     # SPARK_GRAFT_GROUPS=cdc,ann reruns a subset (quiet-window re-measures);
     # unset = the full suite
     for group in GROUPS:
         if wanted is not None and group not in wanted:
             continue
-        res = _run_group(group)
+        res = _run_group_gated(group)
         if res is None:
             continue
         times.update(res["times"])
@@ -322,6 +363,8 @@ def main() -> None:
                 "isolation": "fresh JVM per query group",
                 "steal_pct": steal_pct,
                 "cdc_reps": cdc_reps,
+                "steal_gate_pct": steal_gate,
+                "steal_retries": retries_used,
             }
         )
     )

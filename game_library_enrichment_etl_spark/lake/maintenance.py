@@ -82,7 +82,7 @@ def compact(
     (``fused=False``) reads-with-resolution then writes through
     write_data_files — TWO payload exchanges + TWO sorts; kept as a
     measured fallback. The salt count is derived from manifest row counts
-    (lake/table.resolve_salts), so a huge bucket's sort is sharded to
+    (lake/table.sort_layout), so a huge bucket's sort is sharded to
     bounded memory even when shuffle partitions are few — without it a
     4.5M-row 4-bucket compaction at local[2] external-sorted into 24x
     super-linear wall time.
@@ -149,7 +149,12 @@ def compact(
         df = table.read(buckets=todo, include_deleted=True).where(~dead)
         out = df.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
         files = table.write_data_files(out, snap.version + 1, snap.schema.version)
-    new_snap = table.commit(files, set(todo), [], new_schema=None)
+    # CAS: the rewrite resolved data as of snap.version — a concurrent
+    # apply's commit in between would make this compaction a lost-update
+    # (its output lacks that apply's rows for the compacted buckets), so
+    # commit raises CommitConflictError instead; callers retry.
+    new_snap = table.commit(files, set(todo), [], new_schema=None,
+                            expected_version=snap.version)
     rows_after = sum(f.rows for f in files)
     return {
         "buckets": len(todo),
@@ -191,11 +196,32 @@ def expire_snapshots(
       its data files BEFORE publishing the snapshot, and the grace window
       is what keeps the sweep from racing it.
 
-    Pure metadata + filesystem work: no Spark job. Single-maintainer per
-    table assumed (same as compaction). Lineage files are never touched
-    (they are the audit trail, bytes are negligible).
+    Concurrency: the whole sweep runs under the table write lock
+    (lake/locking.py), so it cannot interleave with a commit's metadata
+    critical section; an in-flight apply's pre-commit DATA files are
+    protected by the orphan grace window (their mtime is fresh), and the
+    files its commit will carry forward are referenced by the current
+    snapshot, which is always retained. Pure metadata + filesystem work:
+    no Spark job. Lineage files are never touched (they are the audit
+    trail, bytes are negligible).
     """
+    from .locking import table_write_lock
+
     root = table.root
+    with table_write_lock(root):
+        return _expire_snapshots_locked(root, keep_last, orphan_grace_s)
+
+
+def _is_writer_marker(fn: str) -> bool:
+    """Hadoop/Spark writer markers (``_SUCCESS``, ``.*.crc`` checksums) —
+    not data, never referenced by a manifest; counted apart from genuine
+    crash orphans so ``orphans_deleted`` means what it says (ADVICE r4)."""
+    return fn == "_SUCCESS" or (fn.startswith(".") and fn.endswith(".crc"))
+
+
+def _expire_snapshots_locked(
+    root: str, keep_last: int, orphan_grace_s: float
+) -> dict:
     cur = read_current_version(root)
     if cur is None:
         raise FileNotFoundError(f"no icelet table at {root}")
@@ -206,8 +232,21 @@ def expire_snapshots(
         for fn in os.listdir(snapdir)
         if (m := _SNAP_RE.match(fn))
     )
+    now = time.time()
+    # snapshot JSONs AHEAD of the pointer are uncommitted: a commit that
+    # wrote v{cur+1}.json but crashed before the pointer swing (the pointer
+    # is the source of truth). Past the grace window they cannot be a
+    # commit mid-swing (that window is milliseconds, and the write lock is
+    # held here anyway), so their JSON is removed and their data files —
+    # now referenced by no snapshot — fall to the orphan sweep below
+    # (same-age mtimes, so the same grace applies). ADVICE r4: without
+    # this, a crashed commit pinned its files as live forever.
+    uncommitted = [
+        v for v in versions
+        if v > cur and now - os.path.getmtime(snapshot_path(root, v)) >= orphan_grace_s
+    ]
     min_keep = cur - keep_last + 1
-    retained = [v for v in versions if v >= min_keep]
+    retained = [v for v in versions if v >= min_keep and v not in set(uncommitted)]
     expired = [v for v in versions if v < min_keep]
 
     live: set[str] = set()
@@ -219,17 +258,32 @@ def expire_snapshots(
         snap = read_snapshot(root, v)
         expired_refs.update(f.path for f in snap.files)
     dead = expired_refs - live
+    # a directory tree is live while any live file sits under it: its
+    # writer markers are routine, not reclaimable garbage — left in place
+    # so a healthy table reports an all-zero sweep (idempotent runs).
+    # Ancestors matter: _SUCCESS sits at the commit dir root
+    # (data/vN-uuid/_SUCCESS) while data files sit one level down in
+    # _bucket=K/ subdirs.
+    live_dirs: set[str] = set()
+    for p in live:
+        d = os.path.dirname(p)
+        while d and d != "data" and d not in live_dirs:
+            live_dirs.add(d)
+            d = os.path.dirname(d)
 
     files_deleted = 0
     bytes_reclaimed = 0
     orphans_deleted = 0
-    now = time.time()
+    markers_deleted = 0
     datadir = os.path.join(root, "data")
     for base, _dirs, fns in os.walk(datadir):
         for fn in fns:
             p = os.path.join(base, fn)
             rel = os.path.relpath(p, root)
             if rel in live:
+                continue
+            marker = _is_writer_marker(fn)
+            if marker and os.path.dirname(rel) in live_dirs:
                 continue
             try:
                 st = os.stat(p)
@@ -240,26 +294,41 @@ def expire_snapshots(
                 files_deleted += 1
                 bytes_reclaimed += st.st_size
             elif now - st.st_mtime >= orphan_grace_s:
-                # referenced by no snapshot: crash orphan (or a writer
-                # marker like _SUCCESS in a superseded dir) past grace
                 os.remove(p)
-                orphans_deleted += 1
+                if marker:
+                    markers_deleted += 1
+                else:
+                    # referenced by no snapshot: crash leftover past grace
+                    orphans_deleted += 1
                 bytes_reclaimed += st.st_size
 
+    # empty-dir pruning respects the same grace window as orphan files: a
+    # concurrent Spark write stages through momentarily-EMPTY _temporary/
+    # committer dirs, and an ungraced rmdir here kills that write mid-commit
+    # (caught by tests/test_locking.py's interleaved apply+expire race)
     dirs_removed = 0
     for base, dirs_, fns in os.walk(datadir, topdown=False):
-        if base != datadir and not dirs_ and not fns:
-            os.rmdir(base)
-            dirs_removed += 1
+        if base == datadir or dirs_ or fns:
+            continue
+        try:
+            if now - os.stat(base).st_mtime >= orphan_grace_s:
+                os.rmdir(base)
+                dirs_removed += 1
+        except OSError:  # vanished, or a concurrent writer refilled it
+            pass
 
     for v in expired:
+        os.remove(snapshot_path(root, v))
+    for v in uncommitted:
         os.remove(snapshot_path(root, v))
 
     return {
         "snapshots_expired": len(expired),
         "snapshots_retained": len(retained),
+        "uncommitted_snapshots_removed": len(uncommitted),
         "data_files_deleted": int(files_deleted),
         "orphans_deleted": int(orphans_deleted),
+        "writer_markers_deleted": int(markers_deleted),
         "bytes_reclaimed": int(bytes_reclaimed),
         "dirs_removed": int(dirs_removed),
     }

