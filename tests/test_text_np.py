@@ -111,15 +111,16 @@ def test_frame_sample_fanout(spark):
     assert got[0] == b"a" * 1000 and got[2] == b"a" * 500 and got[3] == b"xy" * 10
 
 
-def test_real_decode_gated_on_import(spark):
+def test_real_decode_available_without_pil(spark):
+    """real=True no longer gates on PIL: the pure-Python PNG decoder backs
+    it in PIL-less environments (r4's one declared-but-never-executed
+    capability), and a corrupt body falls back to the header stub instead
+    of raising. tests/test_multimodal_real.py covers pixel correctness."""
     from game_library_enrichment_etl_spark.operators import multimodal as MM
 
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1], "blob": [b"\x89PNG\r\n\x1a\nxxxxIHDR" + b"\0" * 8]}),
         "doc_id long, blob binary",
     )
-    if MM.REAL_DECODER_AVAILABLE:
-        MM.decode_binary_column(df, real=True).collect()  # must not raise
-    else:
-        with pytest.raises(NotImplementedError, match="PIL|ffmpeg"):
-            MM.decode_binary_column(df, real=True)
+    out = MM.decode_binary_column(df, real=True).collect()  # must not raise
+    assert len(out) == 1
