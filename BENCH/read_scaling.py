@@ -48,9 +48,9 @@ segs = sorted(os.path.join(wal, f) for f in os.listdir(wal) if f.startswith("seg
 for p in segs:
     apply_batch(t, spark.read.parquet(p))
 snap = t.snapshot()
-seqs = len({f.sequence for f in snap.files})
-print(json.dumps({"rows_stored": snap.total_rows(), "files": len(snap.files),
-                  "sequences": seqs}))
+seqs = len({{f.sequence for f in snap.files}})
+print(json.dumps({{"rows_stored": snap.total_rows(), "files": len(snap.files),
+                  "sequences": seqs}}))
 spark.stop()
 """
 
