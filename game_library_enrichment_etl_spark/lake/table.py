@@ -242,10 +242,12 @@ class IceletTable:
         read-side twin of the fused write path) or ``skinny`` (two-phase
         skinny-agg + payload fetch join — scans the delta files twice but
         never sorts payload bytes; the r3 default, kept as a measured
-        fallback). Resolution is skipped entirely when every selected
-        bucket's files come from one commit sequence (COW tables, or a MOR
-        table right after compaction) — then files are disjoint by
-        construction."""
+        fallback). Resolution is applied PER BUCKET: only buckets whose
+        files span more than one commit sequence go through the resolve
+        exchange; single-sequence buckets (COW tables, compacted buckets
+        of a MOR table) are unioned straight from the scan — their files
+        are key-disjoint by construction, so at steady state the shuffle
+        is proportional to the uncompacted delta, not the table."""
         snap = self.snapshot(version)
         cur = as_schema if as_schema is not None else snap.schema
         files = snap.files
@@ -289,34 +291,52 @@ class IceletTable:
         # leak through the caller's resolve.
         if resolve == "none" and not include_deleted:
             raise ValueError("resolve='none' requires include_deleted=True")
-        attach_seq = needs_resolve or resolve == "none"
-        by_sv: dict[tuple[int, int], list[str]] = {}
-        for f in files:
-            by_sv.setdefault((f.schema_version, f.sequence), []).append(
-                os.path.join(self.root, f.path)
-            )
-        parts = []
-        for (sv, seq), paths in by_sv.items():
-            old = snap.schema_at(sv)
-            df = self.spark.read.schema(old.to_spark()).parquet(*paths)
-            cols = []
-            old_by_id = old.by_id()
-            for cf in cur.fields:
-                of = old_by_id.get(cf.id)
-                if of is None:  # column added after these files were written
-                    cols.append(F.lit(None).cast(cf.type).alias(cf.name))
-                else:
-                    cols.append(F.col(of.name).cast(cf.type).alias(cf.name))
-            if attach_seq:
-                cols.append(F.lit(seq).cast("long").alias("_seq"))
-            parts.append(df.select(*cols))
-        out = reduce(lambda a, b: a.unionByName(b), parts)
-        if needs_resolve and resolve != "none":
+
+        def _scan_union(fs, attach_seq: bool) -> DataFrame:
+            by_sv: dict[tuple[int, int], list[str]] = {}
+            for f in fs:
+                by_sv.setdefault((f.schema_version, f.sequence), []).append(
+                    os.path.join(self.root, f.path)
+                )
+            parts = []
+            for (sv, seq), paths in by_sv.items():
+                old = snap.schema_at(sv)
+                df = self.spark.read.schema(old.to_spark()).parquet(*paths)
+                cols = []
+                old_by_id = old.by_id()
+                for cf in cur.fields:
+                    of = old_by_id.get(cf.id)
+                    if of is None:  # column added after these files were written
+                        cols.append(F.lit(None).cast(cf.type).alias(cf.name))
+                    else:
+                        cols.append(F.col(of.name).cast(cf.type).alias(cf.name))
+                if attach_seq:
+                    cols.append(F.lit(seq).cast("long").alias("_seq"))
+                parts.append(df.select(*cols))
+            return reduce(lambda a, b: a.unionByName(b), parts)
+
+        if resolve == "none":
+            out = _scan_union(files, attach_seq=True)
+        elif not needs_resolve:
+            out = _scan_union(files, attach_seq=False)
+        else:
+            # Selective resolve: only buckets whose files span >1 commit
+            # sequence can hold a key twice, so only THEIR rows pay the
+            # resolve exchange. Single-sequence buckets (the steady state
+            # after per-bucket auto-compaction) are unioned straight from
+            # the scan — at 100 TB this keeps the shuffle proportional to
+            # the uncompacted delta, not the table.
+            multi = {b for b, s in per_bucket.items() if len(s) > 1}
+            f_resolve = [f for f in files if f.bucket in multi]
+            f_direct = [f for f in files if f.bucket not in multi]
             order = tuple(snap.properties["version_cols"]) + ("_seq",)
             out = self._resolve_lww(
-                out, snap.properties["key"], order, snap.n_buckets, resolve,
-                total_rows=sum(rows_per_bucket.values()),
+                _scan_union(f_resolve, attach_seq=True),
+                snap.properties["key"], order, snap.n_buckets, resolve,
+                total_rows=sum(rows_per_bucket[b] for b in multi),
             ).drop("_seq")
+            if f_direct:
+                out = out.unionByName(_scan_union(f_direct, attach_seq=False))
         if DELETED_COL in cur.names() and not include_deleted:
             out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return out

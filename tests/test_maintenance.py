@@ -100,3 +100,49 @@ def test_fused_compaction_equals_legacy(spark, tmp_path):
         for f in t.snapshot().files:
             seqs.setdefault(f.bucket, set()).add(f.sequence)
         assert max(len(s) for s in seqs.values()) == 1
+
+
+def test_selective_resolve_shuffles_only_multi_sequence_buckets(spark, tmp_path):
+    """Round-5: read() resolves PER BUCKET. After a partial compaction the
+    compacted (single-sequence) buckets' rows must bypass the resolve
+    exchange entirely — only still-multi-sequence buckets feed it — and
+    the result must equal a COW replay of the same stream."""
+    ev = gen_change_events(2400, 300, seed=91, delete_frac=0.1)
+    paths = write_change_segments(str(tmp_path / "wal"), ev.drop(columns=["title"]), 4)
+    t = create_pages_table(
+        spark, str(tmp_path / "mor"), n_buckets=4, merge_strategy="mor"
+    )
+    for p in paths:
+        apply_batch(t, spark.read.parquet(p), lateness_s=600)
+
+    compact(t, buckets=[0, 1])
+    per_bucket: dict[int, set[int]] = {}
+    rows_per_bucket: dict[int, int] = {}
+    for f in t.snapshot().files:
+        per_bucket.setdefault(f.bucket, set()).add(f.sequence)
+        rows_per_bucket[f.bucket] = rows_per_bucket.get(f.bucket, 0) + f.rows
+    multi = {b for b, s in per_bucket.items() if len(s) > 1}
+    assert multi and multi != set(per_bucket), (
+        "fixture must yield a mix of compacted and delta buckets"
+    )
+
+    seen: dict[str, int] = {}
+    orig = t._resolve_lww
+
+    def spy(df, *a, **k):
+        seen["resolve_input_rows"] = df.count()
+        return orig(df, *a, **k)
+
+    t._resolve_lww = spy
+    got = t.read().toPandas().sort_values("url").reset_index(drop=True).sort_index(axis=1)
+    del t._resolve_lww
+
+    # only the uncompacted buckets' stored rows entered the exchange
+    assert seen["resolve_input_rows"] == sum(rows_per_bucket[b] for b in multi)
+    assert seen["resolve_input_rows"] < sum(rows_per_bucket.values())
+
+    cow = create_pages_table(spark, str(tmp_path / "cow"), n_buckets=4)
+    for p in paths:
+        apply_batch(cow, spark.read.parquet(p), lateness_s=600)
+    want = cow.read().toPandas().sort_values("url").reset_index(drop=True).sort_index(axis=1)
+    pd.testing.assert_frame_equal(got, want)
