@@ -45,6 +45,11 @@ ATTEMPTS = os.path.join(BENCH, "hunt_r5_attempts.jsonl")
 SAMPLE_S = 15          # steal sampling cadence
 WINDOW_S = 120         # quiet window length the verdict prescribed
 QUIET_PCT = 2.0        # per-window and per-run steal threshold
+OTHER_CPU_PCT = 6.0    # per-run same-VM foreign-CPU threshold (host-wide %).
+# The sandbox's own infrastructure (process_api + agent harness) burns a
+# constant ~1.5 of 32 cores (~5%) even when "idle"; 6% accepts that floor
+# while still catching the contention class that produced r5 attempt 1
+# (6x degradation, which needs tens of % foreign CPU).
 LOAD_GATE = 2.0        # 1-min loadavg above this = local work running, don't fire
 COOLDOWN_S = 180       # after any attempt, let writeback/caches settle
 TARGET_QUIET = 3
@@ -119,14 +124,20 @@ def main() -> None:
             r_lo = run_level_once(lo, wal, n_seg, strategy)
             r_hi = run_level_once(hi, wal, n_seg, strategy)
             eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
-            quiet = (r_lo["host_steal_pct"] <= QUIET_PCT
-                     and r_hi["host_steal_pct"] <= QUIET_PCT)
+            # quiet = hypervisor steal low at BOTH levels AND same-VM
+            # other-process CPU low (r5 attempt 1 was 6x degraded at 4.9%
+            # steal — contention steal can't see; other_cpu_pct can)
+            quiet = all(r["host_steal_pct"] <= QUIET_PCT
+                        and r.get("other_cpu_pct", 0.0) <= OTHER_CPU_PCT
+                        for r in (r_lo, r_hi))
             rec = {"attempt": attempt, "efficiency": round(eff, 3),
                    "quiet": quiet, "lo": r_lo, "hi": r_hi}
             _append(ATTEMPTS, rec)
             print(json.dumps({k: rec[k] for k in ("attempt", "efficiency", "quiet")}
                              | {"lo_steal": r_lo["host_steal_pct"],
-                                "hi_steal": r_hi["host_steal_pct"]}), flush=True)
+                                "hi_steal": r_hi["host_steal_pct"],
+                                "lo_other": r_lo.get("other_cpu_pct"),
+                                "hi_other": r_hi.get("other_cpu_pct")}), flush=True)
             if quiet:
                 quiet_pairs.append((eff, r_lo, r_hi))
         finally:
