@@ -46,10 +46,13 @@ SAMPLE_S = 15          # steal sampling cadence
 WINDOW_S = 120         # quiet window length the verdict prescribed
 QUIET_PCT = 2.0        # per-window and per-run steal threshold
 OTHER_CPU_PCT = 6.0    # per-run same-VM foreign-CPU threshold (host-wide %).
-# The sandbox's own infrastructure (process_api + agent harness) burns a
-# constant ~1.5 of 32 cores (~5%) even when "idle"; 6% accepts that floor
-# while still catching the contention class that produced r5 attempt 1
-# (6x degradation, which needs tens of % foreign CPU).
+# With the live-sampled tree accounting (scaling._TreeCpuSampler) the true
+# idle-host foreign floor is <1% of 32 cores (whodunit_r5: claude 0.03
+# cores, process_api 0.01); 6% is generous headroom that still catches the
+# contention class that produced r5 attempt 1 (6x degradation, which needs
+# tens of % foreign CPU). The first r5 protocol snapshotted tree membership
+# after worker exit, misattributing the worker's own reparented JVM as
+# foreign (~13-15% at local[8]) — no attempt could ever qualify.
 LOAD_GATE = 2.0        # 1-min loadavg above this = local work running, don't fire
 COOLDOWN_S = 180       # after any attempt, let writeback/caches settle
 TARGET_QUIET = 3
@@ -89,7 +92,9 @@ def main() -> None:
 
     window: deque[tuple[float, float]] = deque()  # (monotonic_ts, steal_pct)
     quiet_pairs: list[tuple[float, dict, dict]] = []
-    attempt = 0
+    # keeps hunt_r5_attempts.jsonl numbering unambiguous across watcher
+    # restarts (e.g. after a harness fix mid-session)
+    attempt = int(os.environ.get("WATCHER_ATTEMPT_BASE", "0"))
     s_prev, t_prev = _cpu_steal_total()
     lock_fh = open(LOCK_PATH, "w")
 
