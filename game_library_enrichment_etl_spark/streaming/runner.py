@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 
 from ..cdc.apply import ApplyResult, apply_batch
 from ..lake.table import IceletTable
+from ..sources.readers import read_change_batch
 
 
 def run_stream(
@@ -179,7 +180,9 @@ def tail_segments(
     results = []
     n = 0
     for p in segs:
-        df = spark.read.parquet(p)
+        # splits sized to the cluster so a small segment doesn't cap every
+        # per-batch job's map parallelism (sources/readers.py)
+        df = read_change_batch(spark, p)
         res = apply_batch(
             table,
             df,

@@ -13,6 +13,8 @@ from game_library_enrichment_etl_spark.sources.readers import (
     enrich_with_retry,
     latest_landing,
     raw_landing,
+    read_change_batch,
+    split_target_bytes,
 )
 
 
@@ -70,3 +72,38 @@ def test_job_config(tmp_path):
     import os
 
     assert os.path.isdir(cfg.wal_dir) and os.path.isdir(cfg.checkpoint_dir)
+
+
+def test_split_target_bytes_bounds():
+    mb = 1 << 20
+    # small batch on a big cluster: splits shrink so the scan can use the
+    # slots (the 120MB/8-slot case that pinned every per-batch map stage
+    # to 2 tasks on the scaling harness)
+    assert split_target_bytes(120 * mb, 8) == 15 * mb
+    # 100TB design point: total/parallelism >> 128MB -> default preserved
+    assert split_target_bytes(100 * (1 << 40), 4000) == 128 * mb
+    # floor: never below 4MB even for tiny batches (split overhead)
+    assert split_target_bytes(1 * mb, 32) == 4 * mb
+    # degenerate parallelism
+    assert split_target_bytes(64 * mb, 0) == 64 * mb
+
+
+def test_read_change_batch_sets_split_conf(spark, tmp_path):
+    seg = str(tmp_path / "seg-0")
+    spark.range(0, 10_000).withColumn("v", F.col("id") * 2).repartition(
+        4
+    ).write.parquet(seg)
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        df = read_change_batch(spark, seg)
+        assert df.count() == 10_000
+        total = sum(
+            f.stat().st_size
+            for f in (tmp_path / "seg-0").iterdir()
+            if f.name.endswith(".parquet")
+        )
+        par = spark.sparkContext.defaultParallelism
+        expect = split_target_bytes(total, par)
+        assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == expect
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
