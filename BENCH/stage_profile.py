@@ -34,12 +34,13 @@ from game_library_enrichment_etl_spark.sources.readers import read_change_batch
 
 cpus = int(sys.argv[1]); wal = sys.argv[2]; n_seg = int(sys.argv[3])
 strategy = sys.argv[4]; evdir = sys.argv[5]
+xconf = {"spark.eventLog.enabled": "true",
+         "spark.eventLog.dir": evdir,
+         "spark.eventLog.compress": "false",
+         "spark.eventLog.rolling.enabled": "false"}
+xconf.update(json.loads(os.environ.get("PROF_EXTRA_CONF", "{}")))
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
-                  app_name=f"stageprof-{cpus}",
-                  extra_conf={"spark.eventLog.enabled": "true",
-                              "spark.eventLog.dir": evdir,
-                              "spark.eventLog.compress": "false",
-                              "spark.eventLog.rolling.enabled": "false"})
+                  app_name=f"stageprof-{cpus}", extra_conf=xconf)
 segs = sorted(os.path.join(wal, f) for f in os.listdir(wal) if f.startswith("seg-"))
 wroot = tempfile.mkdtemp(prefix="prof_warm_")
 wtable = create_pages_table(spark, os.path.join(wroot, "pages"), n_buckets=32,
@@ -143,12 +144,16 @@ def main() -> None:
     evdir = tempfile.mkdtemp(prefix="evlog_")
     env = dict(os.environ, SPARK_DRIVER_MEMORY="32g", PROF_REPO=REPO)
     cmd = [sys.executable, "-c", _WORKER, str(cpus), wal, str(n_seg), strategy, evdir]
-    # same pinning knobs as scaling.py so profiles match scaling runs
+    # same pinning knobs as scaling.py so profiles match scaling runs;
+    # PROF_JAVA_OPTS appends experiment JVM flags (GC choice, -Xms, ...)
     if os.environ.get("SCALING_PIN", "1") != "0":
         pinned = min(int(os.environ.get("SCALING_PIN_FACTOR", "2")) * cpus,
                      os.cpu_count() or 32)
         cmd = ["taskset", "-c", f"0-{pinned - 1}"] + cmd
-        env["SPARK_SUBMIT_OPTS"] = f"-XX:ActiveProcessorCount={pinned}"
+        env["SPARK_SUBMIT_OPTS"] = (
+            f"-XX:ActiveProcessorCount={pinned} "
+            + os.environ.get("PROF_JAVA_OPTS", "")
+        ).strip()
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                             text=True, env=env)
     comm_cpu = _CommCpuSampler(proc.pid)

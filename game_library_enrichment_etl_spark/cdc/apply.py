@@ -35,16 +35,24 @@ Scale notes (100 TB design)
   keys.
 - Everything is DataFrame-API; the only Python execution is the
   Arrow-vectorized winner/extract pass (cdc/fused.py, functions/extract.py).
-- Exactly 3 actions per batch, only one of which touches payload bytes:
-  (1) a skinny column-pruned stats pass (per WAL-partition offsets + the
-  touched bucket set), (2) a skinny winner-count + WAL-integrity
-  aggregation (key/version/op only — map-side combinable, no html, no
-  UDF), (3) the write itself. The html-bearing winner rows are computed
-  exactly once inside the write (no persist, no second pass over
-  payloads). A ``DataFrame.observe`` design was rejected:
-  ``Observation.get`` deadlocks when the apply runs inside a Structured
-  Streaming ``foreachBatch`` callback (the py4j callback thread can't
-  re-enter the JVM while the streaming engine waits on it).
+- TWO actions per batch on the fused-MOR streaming hot path, only one of
+  which touches payload bytes: (1) a skinny column-pruned per-(segment,
+  bucket) stats pass (offsets, late counts, touched buckets, and a sound
+  hot-key bound — a key's rows never exceed its bucket's rows), (2) the
+  fused write itself. Winner/delete counts come from the written files
+  (manifest row counts + a threaded pyarrow read of the tombstone
+  column), and WAL-integrity is enforced by the fused pass's
+  adjacent-duplicate winner check. A third action — the exact skinny
+  per-key aggregation — runs only when its outputs are load-bearing:
+  COW/join-path merges (pre-merge integrity + write sizing), batches
+  whose bucket bound admits a hot key (exact max_key_rows routes the
+  salted pre-reduce), and multi-segment batches (per-segment winner
+  attribution). The html-bearing winner rows are computed exactly once
+  inside the write (no persist, no second pass over payloads). A
+  ``DataFrame.observe`` design was rejected: ``Observation.get``
+  deadlocks when the apply runs inside a Structured Streaming
+  ``foreachBatch`` callback (the py4j callback thread can't re-enter the
+  JVM while the streaming engine waits on it).
 """
 
 from __future__ import annotations
@@ -90,16 +98,19 @@ def apply_batch(
     are filtered out; an entirely-replayed batch is a no-op.
 
     ``hot_key_threshold``: per-batch hot-key detection (SURVEY §4
-    custom-2). The skinny stats pass already aggregates per key, so the
-    max rows-per-key count rides along for free; when any key exceeds the
-    threshold, the batch is routed through the salted two-phase reduce
+    custom-2). The per-(segment, bucket) stats pass yields a sound bound
+    (max rows-per-key <= max live rows per bucket); only when a bucket
+    exceeds the threshold does the exact per-key pass run, and a key that
+    exceeds it routes the batch through the salted two-phase reduce
     (operators/lww.py) before merging — a single key's rows would
     otherwise all land in one task (one bucket partition under the fused
     path, one hash partition under COW's skinny join) and straggle or
     spill. The routing decision is recorded in metrics. WAL-integrity
-    (duplicate (key, warc_ts, lsn) delivery) raises loudly from the same
-    skinny stats pass BEFORE any merge path runs, so enforcement is
-    uniform across COW, MOR, and hot-key-salted batches."""
+    (duplicate (key, warc_ts, lsn) delivery) raises loudly BEFORE commit
+    on every path: from the exact skinny pass when it runs (COW, join
+    path, hot-suspect or multi-segment batches), else from the fused
+    pass's adjacent-duplicate winner check (pre-commit, nothing is
+    committed to the snapshot)."""
     t0 = time.monotonic()
     phase_t: dict[str, float] = {}
 
@@ -126,25 +137,51 @@ def apply_batch(
         else F.lit(False)
     )
 
-    # ---- action 1 (the only extra job): per-segment (per WAL partition)
-    # offset/late stats + the batch's touched bucket set, in one skinny
-    # column-pruned pass (batch_id, lsn, ts, key — html never read here)
-    seg_stats = (
-        batch.groupBy("batch_id")
+    # ---- action 1: per-(segment, bucket) offset/late stats in one skinny
+    # column-pruned pass (batch_id, lsn, ts, key — html never read here).
+    # Grouping by bucket as well costs nothing (map-side combine reduces to
+    # n_segments * n_buckets rows) and yields the touched-bucket set PLUS a
+    # sound hot-key bound: every row of a key lands in the key's bucket, so
+    # max_key_rows <= max live bucket count — if no bucket exceeds the hot
+    # threshold, no key can, and the exact per-key pass (action 2) is
+    # skippable on the fused MOR path.
+    braw = (
+        batch.groupBy("batch_id", bucket_expr(key, snap.n_buckets).alias("_b"))
         .agg(
-            F.count(F.lit(1)).alias("events_in"),
+            F.count(F.lit(1)).alias("n"),
             F.min(lsn_col).alias("lsn_min"),
             F.max(lsn_col).alias("lsn_max"),
             F.max(ts_col).alias("ts_max"),
-            F.sum(late_pred.cast("long")).alias("late_dropped"),
-            F.collect_set(
-                F.when(~late_pred, bucket_expr(key, snap.n_buckets))
-            ).alias("buckets"),
+            F.sum(late_pred.cast("long")).alias("late"),
         )
         .collect()
     )
     _mark("t_stats")
-    seg_stats = sorted((r.asDict() for r in seg_stats), key=lambda d: d["batch_id"])
+    by_seg: dict[int, dict] = {}
+    for r in braw:
+        d = by_seg.setdefault(
+            r["batch_id"],
+            {
+                "batch_id": r["batch_id"],
+                "events_in": 0,
+                "lsn_min": None,
+                "lsn_max": None,
+                "ts_max": None,
+                "late_dropped": 0,
+                "buckets": set(),
+                "max_bucket_live": 0,
+            },
+        )
+        d["events_in"] += int(r["n"])
+        d["late_dropped"] += int(r["late"] or 0)
+        for col, fold in (("lsn_min", min), ("lsn_max", max), ("ts_max", max)):
+            if r[col] is not None:
+                d[col] = r[col] if d[col] is None else fold(d[col], r[col])
+        live = int(r["n"]) - int(r["late"] or 0)
+        if live > 0:
+            d["buckets"].add(r["_b"])
+            d["max_bucket_live"] = max(d["max_bucket_live"], live)
+    seg_stats = sorted(by_seg.values(), key=lambda d: d["batch_id"])
     new_ids = [d["batch_id"] for d in seg_stats if d["batch_id"] not in applied]
     if not new_ids:
         return ApplyResult(True, snap.version, {"reason": "all batch_ids already applied"})
@@ -188,10 +225,38 @@ def apply_batch(
         _append_lineage(table.root, seg_stats, metrics, new_snap.version)
         return ApplyResult(False, new_snap.version, metrics, seg_stats)
 
-    # ---- action 2: winner/delete counts over the SKINNY projection only
-    # (key, version, op, batch_id — Catalyst prunes html out of the scan;
-    # map-side combinable two-level aggregation, so it is shuffle-light at
-    # any scale). Three things ride along for free on the same pass:
+    # ---- merge-path decision, needed before action 2 can be gated
+    use_mor = (
+        table.merge_strategy == "mor"
+        and mode == "overwrite"
+        and DELETED_COL in cur.names()
+    )
+    max_bucket_live = max((d["max_bucket_live"] for d in seg_stats), default=0)
+    # The exact per-key pass (action 2) is needed when any of its outputs
+    # is load-bearing:
+    # - COW / join-path merges: WAL-integrity must raise BEFORE the merge
+    #   (the fused pass has its own adjacent-duplicate winner check; the
+    #   other paths do not), and COW sizes its write from n_winners.
+    # - possible hot key: max live bucket rows bound max rows-per-key, so
+    #   only a bucket above the threshold can hide a hot key; the exact
+    #   pass then measures max_key_rows and routes the salted pre-reduce.
+    # - multi-segment batches: per-segment lineage attribution groups by
+    #   the winning row's batch_id.
+    # Otherwise — the fused-MOR streaming hot path — winners and deletes
+    # are derived from the written delta files themselves (manifest row
+    # counts + a threaded pyarrow scan of the tombstone column), and a
+    # whole skinny scan + per-key shuffle per batch disappears (measured
+    # at ~25% of batch wall at local[2]).
+    need_exact = (
+        not (use_mor and mor_path == "fused")
+        or len(new_ids) > 1
+        or max_bucket_live > hot_key_threshold
+    )
+
+    # ---- action 2 (exact path only): winner/delete counts over the SKINNY
+    # projection (key, version, op, batch_id — Catalyst prunes html out of
+    # the scan; map-side combinable two-level aggregation, so it is
+    # shuffle-light at any scale). Three things ride along for free:
     # - WAL-integrity: per key, row count vs distinct-version count — a
     #   mismatch means duplicate (key, warc_ts, lsn) delivery with
     #   potentially divergent payloads, and the apply raises PRE-merge.
@@ -203,46 +268,56 @@ def apply_batch(
     # - per-SEGMENT winner attribution: the winning row's batch_id, so
     #   multi-segment lineage rows carry their own counts instead of
     #   copies of the batch totals.
-    ver = F.struct(*[F.col(c) for c in order_cols])
-    seg_rows = (
-        norm_bid.select(key, OP_COL, "batch_id", *order_cols)
-        .groupBy(key)
-        .agg(
-            F.max_by(
-                F.struct(F.col(OP_COL).alias("op"), F.col("batch_id").alias("bid")),
-                ver,
-            ).alias("_w"),
-            F.count(F.lit(1)).alias("_kn"),
-            F.countDistinct(ver).alias("_kd"),
+    if need_exact:
+        ver = F.struct(*[F.col(c) for c in order_cols])
+        seg_rows = (
+            norm_bid.select(key, OP_COL, "batch_id", *order_cols)
+            .groupBy(key)
+            .agg(
+                F.max_by(
+                    F.struct(F.col(OP_COL).alias("op"), F.col("batch_id").alias("bid")),
+                    ver,
+                ).alias("_w"),
+                F.count(F.lit(1)).alias("_kn"),
+                F.countDistinct(ver).alias("_kd"),
+            )
+            .groupBy(F.col("_w.bid").alias("batch_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("_w.op") == "D").cast("long")).alias("n_del"),
+                F.max("_kn").alias("max_key_rows"),
+                F.max(F.col("_kn") - F.col("_kd")).alias("max_dup"),
+            )
+            .collect()
         )
-        .groupBy(F.col("_w.bid").alias("batch_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("_w.op") == "D").cast("long")).alias("n_del"),
-            F.max("_kn").alias("max_key_rows"),
-            F.max(F.col("_kn") - F.col("_kd")).alias("max_dup"),
-        )
-        .collect()
-    )
-    if any(int(r["max_dup"] or 0) > 0 for r in seg_rows):
-        raise RuntimeError(
-            "WAL integrity violation: duplicate (key, "
-            f"{', '.join(order_cols)}) delivered within one batch; "
-            "lsn must be a unique sequence number"
-        )
-    n_winners = sum(int(r["n"]) for r in seg_rows)
-    n_deletes = sum(int(r["n_del"] or 0) for r in seg_rows)
-    max_key_rows = max((int(r["max_key_rows"] or 0) for r in seg_rows), default=0)
-    hot = max_key_rows > hot_key_threshold
-    by_bid = {int(r["batch_id"]): r for r in seg_rows}
-    for d in seg_stats:
-        r = by_bid.get(int(d["batch_id"]))
-        d["winners"] = int(r["n"]) if r is not None else 0
-        d["delete_winners"] = int(r["n_del"] or 0) if r is not None else 0
-        d["conflicts_resolved"] = (
-            int(d["events_in"]) - int(d["late_dropped"] or 0) - d["winners"]
-        )
-        d["buckets_touched"] = len(d["buckets"] or [])
+        if any(int(r["max_dup"] or 0) > 0 for r in seg_rows):
+            raise RuntimeError(
+                "WAL integrity violation: duplicate (key, "
+                f"{', '.join(order_cols)}) delivered within one batch; "
+                "lsn must be a unique sequence number"
+            )
+        n_winners = sum(int(r["n"]) for r in seg_rows)
+        n_deletes = sum(int(r["n_del"] or 0) for r in seg_rows)
+        max_key_rows = max((int(r["max_key_rows"] or 0) for r in seg_rows), default=0)
+        hot = max_key_rows > hot_key_threshold
+        by_bid = {int(r["batch_id"]): r for r in seg_rows}
+        for d in seg_stats:
+            r = by_bid.get(int(d["batch_id"]))
+            d["winners"] = int(r["n"]) if r is not None else 0
+            d["delete_winners"] = int(r["n_del"] or 0) if r is not None else 0
+            d["conflicts_resolved"] = (
+                int(d["events_in"]) - int(d["late_dropped"] or 0) - d["winners"]
+            )
+            d["buckets_touched"] = len(d["buckets"] or [])
+    else:
+        # fast path: integrity is enforced by the fused pass's winner
+        # adjacent-duplicate check; counts come from the written files
+        # post-write. max_key_rows is reported as its sound per-bucket
+        # UPPER BOUND (exact when the exact pass ran).
+        hot = False
+        n_winners = None
+        n_deletes = None
+        max_key_rows = max_bucket_live
     _mark("t_winner_stats")
 
     # engine-computed columns (text from html) are extracted on the batch
@@ -254,11 +329,6 @@ def apply_batch(
     # so the extraction runs exactly once without any persist. Under mor
     # extraction happens inside the fused Arrow pass AFTER the bucket
     # shuffle, so extracted text bytes are never shuffled or sorted.
-    use_mor = (
-        table.merge_strategy == "mor"
-        and mode == "overwrite"
-        and DELETED_COL in cur.names()
-    )
     if use_mor and mor_path == "fused":
         # ---- merge-on-read, fused single-shuffle path (cdc/fused.py):
         # APPEND the batch's winners as delta files (deletes as tombstone
@@ -369,13 +439,29 @@ def apply_batch(
         )
     _mark("t_merge_write")
     if use_mor:
-        # structural invariant check: the delta files must hold exactly one
-        # row per winner key (the fused dedup's contiguous-group scan and
-        # the skinny count both group by key; a mismatch means a broken
-        # partitioning/sort invariant) — fail before commit rather than
-        # corrupt read-time resolution.
         written = sum(f.rows for f in files)
-        if written != n_winners:
+        if n_winners is None:
+            # fast path: winners = the written delta rows (the fused window
+            # keeps exactly one row per key), deletes = an exact threaded
+            # pyarrow count of the tombstone column over this commit's
+            # files (column-pruned; no Spark job). Single segment by
+            # construction, so per-segment attribution is the totals.
+            n_winners = written
+            n_deletes = _count_tombstones(table.root, files)
+            d = seg_stats[0]
+            d["winners"] = n_winners
+            d["delete_winners"] = n_deletes
+            d["conflicts_resolved"] = (
+                int(d["events_in"]) - int(d["late_dropped"] or 0) - n_winners
+            )
+            d["buckets_touched"] = len(d["buckets"] or [])
+        elif written != n_winners:
+            # structural invariant check (exact path): the delta files must
+            # hold exactly one row per winner key (the fused dedup's
+            # contiguous-group scan and the skinny count both group by
+            # key; a mismatch means a broken partitioning/sort invariant)
+            # — fail before commit rather than corrupt read-time
+            # resolution.
             raise RuntimeError(
                 f"fused-merge invariant violation: {written} rows written "
                 f"for {n_winners} winner keys"
@@ -394,11 +480,34 @@ def apply_batch(
     metrics["wall_ms"] = wall_ms
     metrics["schema_changed"] = evo.changed
     metrics["merge_strategy"] = "mor" if use_mor else "cow"
+    # exact when the per-key pass ran; otherwise its sound per-bucket
+    # upper bound (a key's rows never exceed its bucket's rows)
     metrics["max_key_rows"] = max_key_rows
     metrics["hot_key_routed"] = hot
+    metrics["winner_stats_path"] = "exact" if need_exact else "manifest"
     metrics["phases_s"] = phase_t
     _append_lineage(table.root, seg_stats, metrics, new_snap.version)
     return ApplyResult(False, new_snap.version, metrics, seg_stats)
+
+
+def _count_tombstones(root: str, files) -> int:
+    """Exact tombstone count over one commit's delta files: a threaded
+    pyarrow read of the boolean DELETED_COL only (kilobytes per file) —
+    same driver-side threaded-footer pattern as manifest harvesting, no
+    Spark job. Only the fused fast path uses it (the exact stats pass
+    computes deletes ahead of the write otherwise)."""
+    import pyarrow.compute as pc
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(f) -> int:
+        t = pq.read_table(os.path.join(root, f.path), columns=[DELETED_COL])
+        n = pc.sum(t[DELETED_COL]).as_py()
+        return int(n or 0)
+
+    if not files:
+        return 0
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+        return sum(ex.map(one, files))
 
 
 # --------------------------------------------------------------------- merge

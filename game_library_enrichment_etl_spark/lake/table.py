@@ -55,6 +55,13 @@ def bucket_expr(key_col: str, n_buckets: int):
 # for web-page rows (~1-4 KB) against multi-GB task memory — override per
 # call where payloads differ
 ROWS_PER_SORT_SHARD = 250_000
+# layout granularity (see sort_layout): never shard finer than this many
+# rows, target ~TASK_WAVES tasks per slot, and keep at least
+# GROUPS_PER_PARTITION distinct (bucket, salt) hash groups per exchange
+# partition so balls-in-bins variance stays bounded
+MIN_ROWS_PER_SHARD = 25_000
+TASK_WAVES = 4
+GROUPS_PER_PARTITION = 4
 
 
 def sort_layout(
@@ -66,7 +73,7 @@ def sort_layout(
     """(exchange partitions, in-bucket salts) for a bucket-clustered SORT
     stage (the fused write, the window read-resolve, fused compaction).
 
-    Two constraints, resolved together:
+    Constraints, resolved together:
     - PARTITION COUNT bounds each task's sorter: sorting happens per
       exchange partition, so with only spark.sql.shuffle.partitions
       partitions a low-parallelism run funnels millions of multi-KB
@@ -75,9 +82,21 @@ def sort_layout(
       The exchange is therefore sized so a partition holds
       ~rows_per_shard rows. Extra partitions beyond the core count just
       queue — cheap; partitions beyond memory spill — ruinous.
-    - SALT COUNT lets buckets actually occupy those partitions: without
-      enough key shards per bucket the exchange's extra partitions stay
-      empty (a bucket is one hash group).
+    - TASK WAVES absorb stragglers: a stage with exactly one task per
+      slot (the r5 8M bench planned 8 merge tasks on 8 slots) makes the
+      stage wall equal its slowest task — every event-log profile showed
+      max_task == stage_wall. Targeting ~TASK_WAVES tasks per slot lets
+      the scheduler pack around an oversized partition, bounded below by
+      the spill constraint and above by MIN_ROWS_PER_SHARD (tiny batches
+      should not fan into confetti tasks).
+    - SALT COUNT gives the exchange enough distinct hash groups. A
+      (bucket, salt) group is one hash unit; hashing G groups into P
+      partitions is balls-in-bins, so G must exceed P by a factor
+      (GROUPS_PER_PARTITION) or some partitions draw 2-3x the mean
+      (measured: 32 buckets into 24 partitions gave a 2.7x straggler).
+      When n_buckets alone is fine-grained enough — the 100-TB deployment
+      shape, where buckets far outnumber per-stage partitions — the salt
+      collapses to 1 and files-per-bucket stays minimal.
 
     An explicit repartition(N, exprs) yields hashpartitioning(exprs, N),
     which satisfies a window's clustering requirement over the same exprs
@@ -85,8 +104,10 @@ def sort_layout(
     explicitly-numbered repartition, so the layout holds as planned."""
     n_parts = nparts
     if total_rows:
-        n_parts = max(n_parts, -(-total_rows // rows_per_shard))  # ceil
-    n_salts = max(1, -(-n_parts // max(n_buckets, 1)))
+        by_spill = -(-total_rows // rows_per_shard)  # ceil: sorter bound
+        fine_cap = max(1, -(-total_rows // MIN_ROWS_PER_SHARD))
+        n_parts = max(by_spill, min(TASK_WAVES * nparts, fine_cap))
+    n_salts = max(1, -(-GROUPS_PER_PARTITION * n_parts // max(n_buckets, 1)))
     return n_parts, n_salts
 
 

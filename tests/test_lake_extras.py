@@ -100,12 +100,18 @@ def test_in_bucket_salt_decorrelated_from_bucket(spark):
     assert all(r["ns"] > 1 for r in rows), rows
 
 
-def test_salted_write_uncaps_files_and_preserves_reads(spark, tmp_path):
+def test_salted_write_uncaps_files_and_preserves_reads(spark, tmp_path, monkeypatch):
     """VERDICT r3 wrong #4: COW merges and compaction write through
     write_data_files, whose parallelism was capped at one task per bucket.
     With in-bucket salting (n_buckets < shuffle partitions) a bucket's rows
     split across several same-commit files; reads stay resolution-free and
-    correct because the salt is a pure key function."""
+    correct because the salt is a pure key function.
+
+    sort_layout's granularity floor (MIN_ROWS_PER_SHARD) correctly refuses
+    to shard an 800-row batch at all, so the floor is lowered here to make
+    the uncapping observable at unit scale — what the test verifies is the
+    salted multi-file-per-bucket write path and its read correctness, not
+    the floor."""
     import pandas as pd
 
     from game_library_enrichment_etl_spark.cdc.apply import apply_batch
@@ -114,14 +120,15 @@ def test_salted_write_uncaps_files_and_preserves_reads(spark, tmp_path):
         gen_change_events,
         write_change_segments,
     )
+    from game_library_enrichment_etl_spark.lake import table as lake_table
     from model_oracle import model_final_state
+
+    monkeypatch.setattr(lake_table, "MIN_ROWS_PER_SHARD", 25)
 
     ev = gen_change_events(800, 120, seed=61, delete_frac=0.05)
     paths = write_change_segments(str(tmp_path / "wal"), ev.drop(columns=["title"]), 2)
-    # n_buckets=2 << shuffle partitions => n_salts=8 on the capped path
-    # (16/2; enough shards that hash-collapsing them all into one task per
-    # bucket is ~impossible — with the session's 4 partitions the 2x2
-    # groups can legitimately collide pairwise)
+    # n_buckets=2 << shuffle partitions => enough salt shards that
+    # hash-collapsing them all into one task per bucket is ~impossible
     t = create_pages_table(spark, str(tmp_path / "pages"), n_buckets=2)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
@@ -145,18 +152,25 @@ def test_salted_write_uncaps_files_and_preserves_reads(spark, tmp_path):
     assert list(got["text"]) == list(want["text"])
 
 
-def test_mor_compaction_output_reads_without_resolution(spark, tmp_path):
+def test_mor_compaction_output_reads_without_resolution(spark, tmp_path, monkeypatch):
     """The salted writer can leave several same-sequence files per bucket
     after compaction; the read must recognize them as resolution-free
     (keys never span files of one commit) — otherwise every post-compaction
-    read would pay the LWW resolve forever."""
+    read would pay the LWW resolve forever.
+
+    The sort_layout granularity floor is lowered so the salted multi-file
+    write engages at unit scale (see
+    test_salted_write_uncaps_files_and_preserves_reads)."""
     from game_library_enrichment_etl_spark.cdc.apply import apply_batch
     from game_library_enrichment_etl_spark.cdc.tables import create_pages_table
     from game_library_enrichment_etl_spark.datagen import (
         gen_change_events,
         write_change_segments,
     )
+    from game_library_enrichment_etl_spark.lake import table as lake_table
     from game_library_enrichment_etl_spark.lake.maintenance import compact
+
+    monkeypatch.setattr(lake_table, "MIN_ROWS_PER_SHARD", 25)
 
     ev = gen_change_events(800, 120, seed=62)
     paths = write_change_segments(str(tmp_path / "wal"), ev.drop(columns=["title"]), 4)
