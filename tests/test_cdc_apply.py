@@ -162,6 +162,49 @@ def test_extractor_deterministic_and_correct():
     assert extract_text_one(html) == out
 
 
+def test_extractor_fused_byte_identical_to_shipped_reference():
+    """The fused single-pipeline extractor must be byte-identical to the
+    previous shipped pandas implementation (the EXTRACTOR_VERSION-1 spec —
+    replay byte-identity across rounds hinges on this) on adversarial
+    inputs: nested/unterminated script+style, bare "<" before a block
+    (where a naive 3-sequential-pass formulation provably diverges from
+    the shipped alternation — this test found that), entity-producing
+    entities (&amp;lt; -> literal "&lt;"), exotic whitespace codepoints
+    (the fused path relies on str.isspace == re \\s), and invalid UTF-8."""
+    import random
+
+    from game_library_enrichment_etl_spark.functions.extract import (
+        extract_text_series,
+        extract_text_series_pandas,
+    )
+
+    ws = " \t\n\r\f\v\x1c\x1d\x1e\x1f\x85\xa0   　"
+    samples = [
+        b"",
+        b"   ",
+        b"<p>a</p>",
+        b"<script>x<p>hidden</p></script>visible",
+        b"<script>unterminated <p>deg</p>",
+        b"<style a='b'>s</style ><b>t</b>",
+        b"&amp;lt; &amp;amp; &lt;b&gt; &quot;q&quot; &#39;a&#39; x&nbsp;y",
+        b"&&lt;amp; &am p; &amp;nbsp;",
+        ("a" + ws + "b" + ws).encode("utf-8"),
+        b"\xff\xfe broken <b>utf8\xc3</b>",
+        b"<SCRIPT>UP</SCRIPT><Style>s</style>ok",
+    ]
+    rng = random.Random(7)
+    toks = ["<p>", "</p>", "<script>", "</script>", "<style>", "</style>",
+            "&amp;", "&lt;", "&nbsp;", "word", ">", "<", ";", "&"] + list(ws)
+    for _ in range(200):
+        samples.append("".join(rng.choices(toks, k=rng.randrange(0, 40))).encode("utf-8"))
+    s = pd.Series(samples + [None], dtype=object)
+    got = extract_text_series(s)
+    want = extract_text_series_pandas(s)
+    for i in range(len(s)):
+        g, w = got.iloc[i], want.iloc[i]
+        assert (g == w) or (g is None and (w is None or w != w)), (i, s.iloc[i], g, w)
+
+
 def test_duplicate_lsn_delivery_fails_loudly(spark, tmp_path):
     """WAL-integrity: duplicate (key, warc_ts, lsn) within one batch makes
     winner-payload selection nondeterministic, so the fused MOR pass must
