@@ -60,7 +60,7 @@ from ..lake.table import (
     BUCKET_COL,
     DELETED_COL,
     bucket_expr,
-    in_bucket_salt,
+    layout_exprs,
     sort_layout,
 )
 
@@ -83,16 +83,16 @@ def fused_mor_winners(
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     src = normalized.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
 
-    part_exprs = [F.col(BUCKET_COL)]
     # spill-aware layout (lake/table.sort_layout): the exchange partition
     # count bounds each task's sorter to ~ROWS_PER_SORT_SHARD payload
-    # rows, and the salt lets buckets occupy those partitions; the
-    # explicit repartition's hashpartitioning satisfies the window's
+    # rows, and the salt lets buckets occupy those partitions. The
+    # repartition routes each (bucket, salt) group to an exactly-balanced
+    # partition (lake/table.route_expr — kills the 9-14% balls-in-bins
+    # straggler tail) and its hashpartitioning satisfies the window's
     # clustering requirement, so the plan still has exactly ONE exchange
     n_parts, n_salts = sort_layout(nparts, n_buckets, batch_rows)
-    if n_salts > 1:
-        part_exprs.append(in_bucket_salt(key, n_salts))
-    src = src.repartition(n_parts, *part_exprs)
+    repart_exprs, part_exprs = layout_exprs(key, n_parts, n_salts)
+    src = src.repartition(n_parts, *repart_exprs)
     w = Window.partitionBy(*part_exprs).orderBy(
         F.col(key).asc(), *[F.col(c).desc() for c in order_cols]
     )

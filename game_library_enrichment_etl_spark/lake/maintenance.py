@@ -121,16 +121,18 @@ def compact(
     if fused:
         from pyspark.sql import Window
 
-        from .table import in_bucket_salt, sort_layout
+        from .table import layout_exprs, sort_layout
 
         raw = table.read(buckets=todo, include_deleted=True, resolve="none")
         src = raw.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
         nparts = int(table.spark.conf.get("spark.sql.shuffle.partitions"))
         n_parts, n_salts = sort_layout(nparts, max(len(todo), 1), rows_before)
-        part_exprs = [F.col(BUCKET_COL)]
-        if n_salts > 1:
-            part_exprs.append(in_bucket_salt(key, n_salts))
-        src = src.repartition(n_parts, *part_exprs)
+        # bucket_ids=todo: compaction covers a SUBSET of buckets, so the
+        # balanced route needs dense group ids (see lake/table.layout_exprs)
+        repart_exprs, part_exprs = layout_exprs(
+            key, n_parts, n_salts, bucket_ids=sorted(todo)
+        )
+        src = src.repartition(n_parts, *repart_exprs)
         order = [F.col(ts_col).desc(), F.col(lsn_col).desc(), F.col("_seq").desc()]
         w = Window.partitionBy(*part_exprs).orderBy(F.col(key).asc(), *order)
         prev_key = F.lag(F.col(key)).over(w)

@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import threading
 import uuid
-from functools import reduce
+from functools import lru_cache, reduce
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -123,6 +123,96 @@ def in_bucket_salt(key_col: str, n_salts: int):
     whenever n_salts divides n_buckets (the typical power-of-two case),
     silently re-capping write parallelism at n_buckets."""
     return F.pmod(F.xxhash64(F.lit("_salt"), F.col(key_col)), F.lit(n_salts))
+
+
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Murmur3 x86_32 of one 4-byte int block — bit-identical to Spark's
+    ``Murmur3Hash`` (and ``F.hash``) over an IntegerType column (public
+    algorithm; Spark hashes an int as a single block with seed 42).
+    Returns the SIGNED 32-bit result exactly as Spark does. Pinned against
+    ``F.hash`` by tests/test_lake_extras.py."""
+    m = 0xFFFFFFFF
+    k = (x & m) * 0xCC9E2D51 & m
+    k = ((k << 15) | (k >> 17)) & m
+    k = k * 0x1B873593 & m
+    h = (seed ^ k) & m
+    h = ((h << 13) | (h >> 19)) & m
+    h = (h * 5 + 0xE6546B64) & m
+    h ^= 4  # total byte length
+    h = (h ^ (h >> 16)) * 0x85EBCA6B & m
+    h = (h ^ (h >> 13)) * 0xC2B2AE35 & m
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+@lru_cache(maxsize=64)
+def _route_tokens(n_parts: int) -> tuple[int, ...]:
+    """tokens[p] = smallest non-negative int whose Murmur3 hash pmods to
+    exchange partition p — so repartitioning on a column holding tokens[p]
+    places the row on partition p EXACTLY. Driver-side search, ~P·ln P
+    probes, memoized per partition count."""
+    found: dict[int, int] = {}
+    t = 0
+    while len(found) < n_parts:
+        p = _murmur3_int32(t) % n_parts  # python % == Spark pmod for n>0
+        if p not in found:
+            found[p] = t
+        t += 1
+    return tuple(found[p] for p in range(n_parts))
+
+
+def route_expr(group_id, n_parts: int):
+    """Exact balanced group->partition routing column.
+
+    ``repartition(n, hash_exprs)`` assigns each distinct (bucket, salt)
+    group by Murmur3 — balls-in-bins, so with G groups over P partitions
+    some partitions draw 2-3x the mean and the merge/resolve stage pays a
+    measured 9-14% straggler tail (BENCH/stageprof: max task ~2x mean at
+    G=144, P=24). This instead routes group g to partition (g % P) —
+    every partition gets ceil(G/P) or floor(G/P) groups by construction —
+    by mapping g to a driver-found token whose Murmur3 hash lands on that
+    partition. The route is a pure function of (bucket, salt), itself a
+    pure key function, so key colocation is unchanged; the route value is
+    CONSTANT within each resulting partition, so window sorts that lead
+    with it cluster identically to (bucket, salt, ...).
+
+    Use as the ONLY repartition expression; window/cluster specs may add
+    (bucket, salt) after it — HashPartitioning([route]) satisfies
+    ClusteredDistribution([route, bucket, salt]), so no second exchange."""
+    toks = _route_tokens(n_parts)
+    arr = F.array(*[F.lit(t) for t in toks])
+    idx = (F.pmod(group_id, F.lit(n_parts)) + F.lit(1)).cast("int")
+    return F.element_at(arr, idx)
+
+
+def layout_exprs(
+    key_col: str,
+    n_parts: int,
+    n_salts: int,
+    bucket_ids: list[int] | None = None,
+):
+    """(repartition exprs, clustering exprs) for a bucket-clustered stage:
+    repartition on the exact route token alone; windows / in-partition
+    sorts partition by (route, bucket[, salt]) — same semantic groups,
+    one exchange, balanced partitions.
+
+    ``bucket_ids``: when the stage covers a SUBSET of buckets (compaction
+    of the `todo` list), round-robin needs dense group ids — raw bucket
+    ids modulo n_parts would collide some partitions and leave others
+    empty. The literal array maps each present bucket to its rank."""
+    cluster = [F.col(BUCKET_COL)]
+    if bucket_ids is not None:
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in sorted(bucket_ids)])
+        dense_b = F.array_position(arr, F.col(BUCKET_COL).cast("long")) - F.lit(1)
+    else:
+        dense_b = F.col(BUCKET_COL)
+    grp = dense_b
+    if n_salts > 1:
+        salt = in_bucket_salt(key_col, n_salts)
+        cluster.append(salt)
+        grp = dense_b * F.lit(n_salts) + salt
+    route = route_expr(grp, n_parts)
+    return [route], [route, *cluster]
 
 
 class IceletTable:
@@ -401,16 +491,15 @@ class IceletTable:
 
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         src = df.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
-        part_exprs = [F.col(BUCKET_COL)]
         # spill-aware layout (sort_layout): the exchange is sized from
         # manifest row counts so each task's sorter holds a bounded row
         # count, and the salt lets buckets occupy those partitions; the
-        # explicit repartition's hashpartitioning satisfies the window's
-        # clustering, so exactly ONE exchange is still planned
+        # exact route (route_expr) balances groups over partitions, and
+        # the explicit repartition's hashpartitioning satisfies the
+        # window's clustering, so exactly ONE exchange is still planned
         n_parts, n_salts = sort_layout(nparts, n_buckets, total_rows)
-        if n_salts > 1:
-            part_exprs.append(in_bucket_salt(key, n_salts))
-        src = src.repartition(n_parts, *part_exprs)
+        repart_exprs, part_exprs = layout_exprs(key, n_parts, n_salts)
+        src = src.repartition(n_parts, *repart_exprs)
         w = Window.partitionBy(*part_exprs).orderBy(
             F.col(key).asc(), *[F.col(c).desc() for c in order_cols]
         )
@@ -477,10 +566,8 @@ class IceletTable:
         # row count — a huge bucket funneled into one task external-sorts
         # multi-KB payload rows (see sort_layout)
         n_parts, n_salts = sort_layout(nparts, n_buckets, expected_rows)
-        part_cols = [F.col(BUCKET_COL)]
-        if n_salts > 1:
-            part_cols.append(in_bucket_salt(key, n_salts))
-        staged = df.repartition(n_parts, *part_cols).sortWithinPartitions(BUCKET_COL, key)
+        repart_cols, _ = layout_exprs(key, n_parts, n_salts)
+        staged = df.repartition(n_parts, *repart_cols).sortWithinPartitions(BUCKET_COL, key)
         if post_shuffle is not None:
             # optional projection applied AFTER the exchange+sort (e.g. the
             # html->text UDF on the "join" MOR path, so text bytes are

@@ -204,3 +204,75 @@ def test_mor_compaction_output_reads_without_resolution(spark, tmp_path, monkeyp
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Aggregate" not in plan and "Window" not in plan
     assert t.read().count() > 0
+
+
+def test_murmur3_int32_matches_spark_hash(spark):
+    from game_library_enrichment_etl_spark.lake.table import _murmur3_int32
+
+    rows = (
+        spark.range(0, 512)
+        .select(F.col("id").cast("int").alias("i"))
+        .select("i", F.hash("i").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert _murmur3_int32(r.i) == r.h
+
+
+def test_route_tokens_land_on_their_partition(spark):
+    from game_library_enrichment_etl_spark.lake.table import _route_tokens
+
+    for n_parts in (2, 8, 24, 100):
+        toks = _route_tokens(n_parts)
+        assert len(set(toks)) == n_parts
+        got = (
+            spark.createDataFrame([(t,) for t in toks], "tok int")
+            .select(F.pmod(F.hash("tok"), F.lit(n_parts)).alias("p"))
+            .collect()
+        )
+        assert sorted(r.p for r in got) == list(range(n_parts))
+
+
+def test_layout_exprs_exactly_balances_groups(spark):
+    """Every exchange partition must hold exactly G/P (bucket, salt)
+    groups — the hash-free routing that removes the measured 9-14%
+    balls-in-bins straggler tail from merge/resolve stages."""
+    from game_library_enrichment_etl_spark.lake.table import (
+        BUCKET_COL,
+        layout_exprs,
+    )
+
+    n_parts, n_salts, n_buckets = 24, 6, 32  # 192 groups -> 8 per partition
+    src = (
+        spark.range(0, 50_000)
+        .select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+        .withColumn(BUCKET_COL, F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+    )
+    rep, clu = layout_exprs("url", n_parts, n_salts)
+    out = src.repartition(n_parts, *rep).withColumn("pid", F.spark_partition_id())
+    per_pid = out.groupBy("pid").agg(F.countDistinct(BUCKET_COL).alias("nb")).collect()
+    assert len(per_pid) == n_parts
+    assert all(r.nb == n_buckets * n_salts // n_parts for r in per_pid)
+
+
+def test_layout_exprs_bucket_subset_stays_balanced(spark):
+    """Compaction routes a SUBSET of buckets; dense group ids keep the
+    round-robin balanced (raw bucket ids modulo P would collide)."""
+    from game_library_enrichment_etl_spark.lake.table import (
+        BUCKET_COL,
+        layout_exprs,
+    )
+
+    todo = [0, 5, 9]  # non-contiguous subset
+    n_parts, n_salts = 12, 8  # 24 groups -> 2 per partition
+    src = (
+        spark.range(0, 60_000)
+        .select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+        .withColumn(BUCKET_COL, F.pmod(F.xxhash64("url"), F.lit(32)).cast("int"))
+        .where(F.col(BUCKET_COL).isin(todo))
+    )
+    rep, _ = layout_exprs("url", n_parts, n_salts, bucket_ids=todo)
+    out = src.repartition(n_parts, *rep).withColumn("pid", F.spark_partition_id())
+    sizes = [r["count"] for r in out.groupBy("pid").count().collect()]
+    assert len(sizes) == n_parts
+    assert max(sizes) < 2.0 * (sum(sizes) / len(sizes))  # no 2-3x straggler bin
