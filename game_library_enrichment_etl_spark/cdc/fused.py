@@ -7,7 +7,8 @@ and moved every payload byte through TWO exchanges (the SHUFFLE_HASH fetch
 join on key, then the bucket repartition before the write). This module
 replaces that with the minimal data movement the semantics allow:
 
-    window over hashpartitioning(_bucket[, _salt])   -- the ONLY exchange
+    window over exact-routed partitioning of (_bucket[, _salt]) groups
+    (lake/table.route_expr)                          -- the ONLY exchange
       -> partition-local sort (_bucket, key ASC, version DESC)
       -> lag(key)-based "first row of key group" filter  == LWW winner
       -> delete tombstoning + winners-only html->text Arrow UDF
