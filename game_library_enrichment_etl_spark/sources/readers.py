@@ -65,8 +65,14 @@ def split_target_bytes(total_bytes: int, parallelism: int) -> int:
     so the default split size (and split count ~ data size) is preserved;
     the adaptation only engages when a batch is small relative to the
     cluster, exactly when the default serializes it.
+
+    The 2x factor targets ~two task waves: with splits sized to exactly
+    one wave, file-boundary quantization leaves a lone straggler task
+    (measured: 9x42MB WAL files at parallelism 8 packed into 9 splits —
+    8 run, 1 runs alone, +~25% on the scan stage wall). Two waves of
+    half-size splits let the scheduler pack around the remainder.
     """
-    return max(min(total_bytes // max(parallelism, 1), 128 << 20), 4 << 20)
+    return max(min(total_bytes // (2 * max(parallelism, 1)), 128 << 20), 4 << 20)
 
 
 def read_change_batch(spark: SparkSession, path: str) -> DataFrame:

@@ -77,15 +77,15 @@ def test_job_config(tmp_path):
 def test_split_target_bytes_bounds():
     mb = 1 << 20
     # small batch on a big cluster: splits shrink so the scan can use the
-    # slots (the 120MB/8-slot case that pinned every per-batch map stage
-    # to 2 tasks on the scaling harness)
-    assert split_target_bytes(120 * mb, 8) == 15 * mb
-    # 100TB design point: total/parallelism >> 128MB -> default preserved
+    # slots twice over (~2 waves; the 120MB/8-slot case that pinned every
+    # per-batch map stage to 2 tasks on the scaling harness)
+    assert split_target_bytes(120 * mb, 8) == 7 * mb + (mb // 2)
+    # 100TB design point: total/(2*parallelism) >> 128MB -> default preserved
     assert split_target_bytes(100 * (1 << 40), 4000) == 128 * mb
     # floor: never below 4MB even for tiny batches (split overhead)
     assert split_target_bytes(1 * mb, 32) == 4 * mb
     # degenerate parallelism
-    assert split_target_bytes(64 * mb, 0) == 64 * mb
+    assert split_target_bytes(64 * mb, 0) == 32 * mb
 
 
 def test_read_change_batch_sets_split_conf(spark, tmp_path):
