@@ -45,7 +45,7 @@ segs = sorted(os.path.join(wal, f) for f in os.listdir(wal) if f.startswith("seg
 wroot = tempfile.mkdtemp(prefix="prof_warm_")
 wtable = create_pages_table(spark, os.path.join(wroot, "pages"), n_buckets=32,
                             merge_strategy=strategy)
-apply_batch(wtable, read_change_batch(spark, segs[0]).limit(500_000))
+apply_batch(wtable, read_change_batch(spark, segs[0]))  # full seg: identical codegen (see scaling.py)
 shutil.rmtree(wroot, ignore_errors=True)
 root = tempfile.mkdtemp(prefix="prof_scale_")
 table = create_pages_table(spark, os.path.join(root, "pages"), n_buckets=32,

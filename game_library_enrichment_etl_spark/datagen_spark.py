@@ -68,6 +68,19 @@ def gen_stream_spark(
     paths = []
     for k in range(n_segments):
         p = os.path.join(out_dir, f"seg-{k:05d}")
-        out.where(F.col("batch_id") == k).write.mode("overwrite").parquet(p)
+        # bounded row groups: a WAL producer tuned for parallel downstream
+        # consumption writes row groups well under the split size — the row
+        # group is the scan's atomic parallelism unit, and the default
+        # 128MB buffer produced files of ONE ~330MB-uncompressed group
+        # (plus a runt), so consumers could not split them and split
+        # boundaries created 2-3x task skew (BENCH/stageprof 96M: exchange
+        # max task 7.7s vs 4.6s mean). 32MB uncompressed ~ a few MB on
+        # disk keeps packing even at any maxPartitionBytes.
+        (
+            out.where(F.col("batch_id") == k)
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(32 << 20))
+            .parquet(p)
+        )
         paths.append(p)
     return paths
