@@ -39,8 +39,10 @@ from scaling import build_result, gen_wal, run_level_once, write_md  # noqa: E40
 
 BENCH = os.path.dirname(os.path.abspath(__file__))
 LOCK_PATH = os.path.join(BENCH, ".heavy.lock")
-STEAL_LOG = os.path.join(BENCH, "steal_log_r5.jsonl")
-ATTEMPTS = os.path.join(BENCH, "hunt_r5_attempts.jsonl")
+STEAL_LOG = os.environ.get("WATCH_STEAL_LOG",
+                           os.path.join(BENCH, "steal_log_r5.jsonl"))
+ATTEMPTS = os.environ.get("WATCH_OUT",
+                          os.path.join(BENCH, "hunt_r5_attempts.jsonl"))
 
 SAMPLE_S = 15          # steal sampling cadence
 WINDOW_S = 120         # quiet window length the verdict prescribed
@@ -55,7 +57,7 @@ OTHER_CPU_PCT = 6.0    # per-run same-VM foreign-CPU threshold (host-wide %).
 # foreign (~13-15% at local[8]) — no attempt could ever qualify.
 LOAD_GATE = 2.0        # 1-min loadavg above this = local work running, don't fire
 COOLDOWN_S = 180       # after any attempt, let writeback/caches settle
-TARGET_QUIET = 3
+TARGET_QUIET = int(os.environ.get("WATCH_TARGET_QUIET", "3"))
 
 
 def _cpu_steal_total() -> tuple[int, int]:
