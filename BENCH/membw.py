@@ -1,66 +1,98 @@
-"""Aggregate host memory-bandwidth ceiling vs core count.
+"""Aggregate host memory-bandwidth ceiling probe (VERDICT r4 next #3 class).
 
-Adjudicates the quiet-host non-scaling of t_merge_write (attempt 6 in
-BENCH/hunt_r5_attempts.jsonl: 163s -> 162s at 2->8 task slots with
-steal/foreign/GC/disk all ~0, while tree CPU-seconds inflated 960 -> 1890).
-CPU-second inflation at equal work is the signature of stall cycles; the
-prime shared-resource suspect on a single-socket VM is DRAM bandwidth.
+The 96M 2->8 scaling pairs lose efficiency entirely to EXTRA CPU burned at
+the hi level (hunt_r5e96: tree CPU 2190s -> 2459s for identical work, java
+utime +25%, zero spill / zero retries / GC flat) — the classic signature of
+per-core memory-bandwidth shrinking as more cores stream concurrently
+(higher CPI, same instructions). This probe measures that directly: N
+processes, each pinned to its own core, each spinning the SAME 32MB memcpy
+the in-run host-speed probe uses (scaling.py _PROBE_SRC, identical 4x-bytes
+accounting), reporting per-process and aggregate GB/s for N = 1,2,4,8,16.
 
-Protocol: K pinned worker processes (cores 0..K-1, same pin set the scaling
-harness uses) each stream a 256MB numpy copy (far beyond LLC) for DURATION
-seconds; we report per-worker and aggregate GB/s for K in CORES. If
-aggregate bandwidth saturates near the 4-core point, no memory-intensive
-phase can scale 4->16 pinned cores on this host, independent of plan shape.
+If aggregate GB/s saturates well below N x single-stream GB/s, the host has
+a shared-DRAM ceiling: a single-box local[2] -> local[8] pair UNDER-estimates
+real N -> 4N cluster scaling, because four separate executor hosts bring 4x
+memory controllers while one box shares one. The artifact quantifies how
+much per-core bandwidth each scaling level actually had.
 
-Usage: python BENCH/membw.py [duration_s] [cores_csv]
-Appends one JSON line per K to stdout.
+Usage: flock BENCH/.heavy.lock python BENCH/membw.py [out.jsonl]
 """
+
+from __future__ import annotations
+
 import json
 import os
 import subprocess
 import sys
+import time
 
-DUR = float(sys.argv[1]) if len(sys.argv) > 1 else 8.0
-CORES = [int(c) for c in (sys.argv[2].split(",") if len(sys.argv) > 2
-                          else ["1", "2", "4", "8", "16"])]
-
-_W = r"""
+WORKER_SRC = r"""
 import sys, time
 import numpy as np
-dur = float(sys.argv[1])
-a = np.empty(256 << 20, dtype=np.uint8)
-b = np.empty(256 << 20, dtype=np.uint8)
-a[:] = 7  # fault pages in
-b[:] = 3
-n = 0
-t0 = time.perf_counter()
-while time.perf_counter() - t0 < dur:
-    b[:] = a
-    n += 1
-dt = time.perf_counter() - t0
-# one copy touches 2*256MB of DRAM traffic (read src + write dst;
-# write-allocate makes it ~3x on most uarchs, but we report the
-# conventional 2x so numbers compare with STREAM copy)
-sys.stdout.write(f"{n * 2 * 256 / 1024 / dt:.3f}\n")
+src = np.ones(32 * 1024 * 1024, dtype=np.uint8)
+dst = np.empty_like(src)
+end = time.monotonic() + float(sys.argv[1])
+spins = 0
+t0 = time.monotonic()
+while time.monotonic() < end:
+    np.copyto(dst, src)
+    spins += 1
+dt = time.monotonic() - t0
+# same accounting as scaling.py _stop_probe: 4 x 32MB per spin
+print((4 * 32 / 1024) * spins / dt)
 """
 
 
-def run(k: int) -> dict:
-    procs = [
-        subprocess.Popen(
-            ["taskset", "-c", str(i), sys.executable, "-c", _W, str(DUR)],
-            stdout=subprocess.PIPE, text=True,
-        )
-        for i in range(k)
-    ]
-    per = [float(p.communicate()[0].strip()) for p in procs]
+def run_level(n: int, secs: float = 4.0) -> dict:
+    procs = []
+    for i in range(n):
+        procs.append(subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, "-c", WORKER_SRC,
+             str(secs)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True))
+    per = []
+    for p in procs:
+        out, _ = p.communicate(timeout=secs + 30)
+        try:
+            per.append(float(out.strip()))
+        except ValueError:
+            pass
+    per.sort()
+    agg = sum(per)
     return {
-        "cores": k,
-        "per_worker_gbs": [round(x, 2) for x in per],
-        "aggregate_gbs": round(sum(per), 2),
+        "n_streams": n,
+        "aggregate_gbs": round(agg, 2),
+        "per_stream_min_gbs": round(per[0], 2) if per else None,
+        "per_stream_med_gbs": round(per[len(per) // 2], 2) if per else None,
+        "per_stream_max_gbs": round(per[-1], 2) if per else None,
     }
 
 
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "membw_r5.jsonl")
+    results = []
+    for n in (1, 2, 4, 8, 16):
+        r = run_level(n)
+        r["t"] = round(time.time(), 1)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+        time.sleep(1)
+    one = results[0]["aggregate_gbs"]
+    summary = {
+        "summary": True,
+        "single_stream_gbs": one,
+        "scaling_vs_linear": {
+            str(r["n_streams"]): round(r["aggregate_gbs"] / (one * r["n_streams"]), 3)
+            for r in results
+        },
+    }
+    results.append(summary)
+    print(json.dumps(summary), flush=True)
+    with open(out_path, "a") as fh:
+        for r in results:
+            fh.write(json.dumps(r) + "\n")
+
+
 if __name__ == "__main__":
-    for k in CORES:
-        print(json.dumps(run(k)), flush=True)
+    main()
