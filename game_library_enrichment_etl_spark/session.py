@@ -46,6 +46,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep local shuffle reads on buffered file IO instead of mmap.
+        # Spark memory-maps any local shuffle block over this threshold
+        # (default 2m); the merge exchange's blocks sit right at ~2MB, and
+        # every munmap broadcasts TLB-shootdown IPIs to all cores the
+        # mapping touched — a kernel cost that grows superlinearly with
+        # core count. Measured on the 24M-event CDC apply
+        # (BENCH/mmap_ab_r5.jsonl): -14% executor CPU and -11% wall at
+        # local[8], 2->8 scaling efficiency 0.857 vs sub-0.8 with mmap.
+        .config("spark.storage.memoryMapThreshold", "2g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
