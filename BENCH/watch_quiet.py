@@ -6,6 +6,18 @@ CPU <= 2% (the live tree sampler in scaling.py) — then reports the median
 quiet efficiency. Appends one JSONL line per attempt to ``--out`` so no
 attempt is ever discarded, plus a final ``watcher_summary`` line.
 
+Host-epoch gate (r5f): steal + foreign-CPU gates cannot see slow-host
+epochs — hunt_r5f attempt 1 measured 0.433 at 0.1-0.5% steal / 0% foreign,
+with BOTH levels 1.5-3x over their healthy CPU and java kernel time at
+719 s, while the pinned-core speed probe ran 10-15% below its healthy band
+(probe_alu 4.8-5.0 Mops vs 5.3-5.9 across every clean run in
+mmap_ab_r5.jsonl). Two additions: (a) a cheap pre-flight probe (~8 s,
+single pinned core) defers firing while the epoch is bad, and (b) the
+in-run probe medians gate the attempt post-hoc — an attempt counts as
+``quiet`` only when both levels also ran at probe_alu >= EPOCH_ALU_MOPS.
+The raw record keeps steal/foreign/probe separately so the log proves
+which gate rejected what.
+
 Unlike hunt.py this does NOT write BASELINE.md (the round-5 narrative is
 maintained by hand); it only produces the attempt log the narrative cites.
 
@@ -24,14 +36,41 @@ import fcntl
 import json
 import os
 import statistics
+import subprocess
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from scaling import gen_wal, run_level_once  # noqa: E402
+from scaling import _PROBE_SRC, gen_wal, run_level_once  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 QUIET_STEAL = 2.0
 QUIET_OTHER = 2.0
+# healthy band from every clean run in mmap_ab_r5.jsonl / hunt_r5b:
+# probe_alu 5.3-5.9 Mops; degraded epochs measured 4.8-5.0
+EPOCH_ALU_MOPS = float(os.environ.get("WATCH_EPOCH_ALU", "5.2"))
+PREFLIGHT_WAIT_S = 60.0
+
+
+def _preflight_alu(sample_s: float = 8.0) -> float:
+    """Median ALU Mops of a short pinned-core probe burst (epoch pre-check)."""
+    core = (os.cpu_count() or 32) - 1
+    p = subprocess.Popen(
+        ["taskset", "-c", str(core), sys.executable, "-u", "-c", _PROBE_SRC],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    time.sleep(sample_s)
+    p.terminate()
+    out, _ = p.communicate(timeout=10)
+    vals = []
+    for line in out.splitlines():
+        try:
+            c, _m = line.split()
+            vals.append(2.0 / float(c))
+        except (ValueError, ZeroDivisionError):
+            continue
+    vals.sort()
+    return vals[len(vals) // 2] if vals else 0.0
 
 
 def main() -> None:
@@ -56,6 +95,17 @@ def main() -> None:
     quiet_effs: list[float] = []
     for i in range(max_attempts):
         attempt = base + i
+        # epoch pre-flight: don't burn a 5-minute attempt inside a slow-host
+        # epoch the in-run probe would reject anyway
+        waited = 0.0
+        while True:
+            pre = _preflight_alu()
+            if pre >= EPOCH_ALU_MOPS or waited >= 30 * 60:
+                break
+            print(json.dumps({"preflight_alu_mops": round(pre, 2),
+                              "waiting_s": PREFLIGHT_WAIT_S}), flush=True)
+            time.sleep(PREFLIGHT_WAIT_S)
+            waited += PREFLIGHT_WAIT_S
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
             r_lo = run_level_once(lo, wal, n_seg, strategy)
@@ -63,14 +113,22 @@ def main() -> None:
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
         eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
-        quiet = all(
+        contention_quiet = all(
             r["host_steal_pct"] <= QUIET_STEAL and r["other_cpu_pct"] <= QUIET_OTHER
             for r in (r_lo, r_hi)
         )
+        epoch_ok = all(
+            (r.get("probe_alu_mops") or 0.0) >= EPOCH_ALU_MOPS
+            for r in (r_lo, r_hi)
+        )
+        quiet = contention_quiet and epoch_ok
         rec = {
             "attempt": attempt,
             "efficiency": round(eff, 3),
             "quiet": quiet,
+            "contention_quiet": contention_quiet,
+            "epoch_ok": epoch_ok,
+            "preflight_alu_mops": round(pre, 2),
             "lo": r_lo,
             "hi": r_hi,
         }
@@ -82,10 +140,13 @@ def main() -> None:
                     "attempt": attempt,
                     "efficiency": round(eff, 3),
                     "quiet": quiet,
+                    "epoch_ok": epoch_ok,
                     "lo_steal": r_lo["host_steal_pct"],
                     "hi_steal": r_hi["host_steal_pct"],
                     "lo_other": r_lo["other_cpu_pct"],
                     "hi_other": r_hi["other_cpu_pct"],
+                    "lo_alu": r_lo.get("probe_alu_mops"),
+                    "hi_alu": r_hi.get("probe_alu_mops"),
                 }
             ),
             flush=True,
