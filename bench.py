@@ -32,6 +32,32 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _probe_alu_mops(sample_s: float = 4.0) -> float:
+    """Median speed of a fixed integer-ALU loop on one pinned core (Mops).
+
+    Host-epoch telemetry (round 5): the sandbox host has multi-minute slow
+    epochs invisible to steal and process accounting — the pinned-core probe
+    drops from its healthy 5.3-5.9 Mops band to 4.3-5.1, worker kernel time
+    inflates superlinearly with core count, and measured throughput collapses
+    (scaling attempt at probe 4.3-4.7: efficiency 0.138 at <=1.4% steal,
+    BENCH/hunt_r5f_attempts.jsonl). Sampled before each group run so an
+    epoch-degraded measurement is retried and, if the epoch persists, at
+    least stamped in the artifact instead of read as a code regression."""
+    try:
+        t_end = time.monotonic() + sample_s
+        vals = []
+        while time.monotonic() < t_end:
+            t0 = time.perf_counter()
+            acc = 0
+            for i in range(2_000_000):
+                acc = (acc * 1103515245 + 12345 + i) & 0xFFFFFFFF
+            vals.append(2.0 / (time.perf_counter() - t0))
+        vals.sort()
+        return round(vals[len(vals) // 2], 2)
+    except Exception:
+        return 0.0
+
+
 def _cpu_steal_total() -> tuple[int, int]:
     """(steal jiffies, total jiffies) from the host /proc/stat cpu line —
     sampled around every worker so a noisy-neighbor burst is visible in the
@@ -247,9 +273,11 @@ def main() -> None:
     times: dict[str, float] = {}
     extras: dict = {}
     steal_pct: dict[str, list[float]] = {}
+    alu_mops: dict[str, list[float]] = {}
     here = os.path.abspath(__file__)
 
     def _run_group(group: str) -> dict | None:
+        alu_mops.setdefault(group, []).append(_probe_alu_mops())
         s0, t0 = _cpu_steal_total()
         proc = subprocess.run(
             [sys.executable, here, "--worker", group],
@@ -279,20 +307,30 @@ def main() -> None:
     # attempt's numbers are kept; the final JSON stamps per-group retry
     # counts so the artifact shows what was re-measured.
     steal_gate = float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "5.0"))
+    # host-epoch gate (see _probe_alu_mops): runs whose pre-flight probe
+    # reads below this are retried like high-steal runs
+    epoch_gate = float(os.environ.get("SPARK_GRAFT_EPOCH_GATE", "5.2"))
     retry_cap = max(0, int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2")))
     retries_used: dict[str, int] = {}
 
+    def _last_run_ok(group: str) -> bool:
+        return (steal_pct[group][-1] <= steal_gate
+                and alu_mops[group][-1] >= epoch_gate)
+
     def _run_group_gated(group: str) -> dict | None:
-        best: tuple[float, dict] | None = None
+        # badness key: gate failures first, then steal, then slower epoch —
+        # the kept attempt is the cleanest one observed
+        best: tuple[tuple, dict] | None = None
         runs = 0
         for _ in range(1 + retry_cap):
             res = _run_group(group)
             runs += 1
             if res is not None:
-                pct = steal_pct[group][-1]
-                if best is None or pct < best[0]:
-                    best = (pct, res)
-                if pct <= steal_gate:
+                key = (not _last_run_ok(group), steal_pct[group][-1],
+                       -alu_mops[group][-1])
+                if best is None or key < best[0]:
+                    best = (key, res)
+                if _last_run_ok(group):
                     break
         if runs > 1:
             retries_used[group] = runs - 1
@@ -316,16 +354,21 @@ def main() -> None:
                 break
             cdc_attempts.append(
                 {**res["times"], **res.get("extras", {}),
-                 "steal_pct": steal_pct["cdc"][-1]}
+                 "steal_pct": steal_pct["cdc"][-1],
+                 "alu_mops": alu_mops["cdc"][-1]}
             )
-            quiet_n = sum(1 for a in cdc_attempts if a["steal_pct"] <= steal_gate)
+            quiet_n = sum(
+                1 for a in cdc_attempts
+                if a["steal_pct"] <= steal_gate and a["alu_mops"] >= epoch_gate
+            )
             if len(cdc_attempts) == target and quiet_n < 2 and extra_left > 0:
                 extra_left -= 1  # earn one more attempt hunting a quiet one
                 target += 1
         if extra_left != retry_cap:
             retries_used["cdc"] = retry_cap - extra_left
     if cdc_attempts:
-        quiet = [a for a in cdc_attempts if a["steal_pct"] <= steal_gate]
+        quiet = [a for a in cdc_attempts
+                 if a["steal_pct"] <= steal_gate and a["alu_mops"] >= epoch_gate]
         pool = quiet if len(quiet) >= 2 else cdc_attempts
         for k in cdc_attempts[0]:
             vals = [a[k] for a in pool if isinstance(a.get(k), (int, float))]
@@ -334,7 +377,7 @@ def main() -> None:
             m = round(_median(vals), 3)
             if k in ("cdc_apply", "cdc_apply_cow"):
                 times[k] = m
-            elif k != "steal_pct":
+            elif k not in ("steal_pct", "alu_mops"):
                 extras[k] = m
         extras["cdc_attempts"] = cdc_attempts
         extras["cdc_quiet_attempts"] = len(quiet)
@@ -365,8 +408,10 @@ def main() -> None:
                 "cpus": int(cpus),
                 "isolation": "fresh JVM per query group",
                 "steal_pct": steal_pct,
+                "alu_mops": alu_mops,
                 "cdc_reps": cdc_reps,
                 "steal_gate_pct": steal_gate,
+                "epoch_gate_mops": epoch_gate,
                 "steal_retries": retries_used,
             }
         )
