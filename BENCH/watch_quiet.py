@@ -49,7 +49,13 @@ QUIET_OTHER = 2.0
 # healthy band from every clean run in mmap_ab_r5.jsonl / hunt_r5b:
 # probe_alu 5.3-5.9 Mops; degraded epochs measured 4.8-5.0
 EPOCH_ALU_MOPS = float(os.environ.get("WATCH_EPOCH_ALU", "5.2"))
+# fire threshold is slightly looser than the in-run gate: idle-host
+# preflight bursts read a little below in-run probe medians (no calibration
+# data for healthy-epoch idle reads), so firing early and letting the
+# in-run gate judge beats never firing
+PREFLIGHT_ALU_MOPS = float(os.environ.get("WATCH_PREFLIGHT_ALU", "5.05"))
 PREFLIGHT_WAIT_S = 60.0
+PREFLIGHT_CAP_S = float(os.environ.get("WATCH_PREFLIGHT_CAP_S", str(90 * 60)))
 
 
 def _preflight_alu(sample_s: float = 8.0) -> float:
@@ -100,7 +106,7 @@ def main() -> None:
         waited = 0.0
         while True:
             pre = _preflight_alu()
-            if pre >= EPOCH_ALU_MOPS or waited >= 30 * 60:
+            if pre >= PREFLIGHT_ALU_MOPS or waited >= PREFLIGHT_CAP_S:
                 break
             print(json.dumps({"preflight_alu_mops": round(pre, 2),
                               "waiting_s": PREFLIGHT_WAIT_S}), flush=True)
