@@ -148,3 +148,63 @@ def test_expire_cli_verb(spark, tmp_path):
     assert out["snapshots_expired"] >= 1
     live = {f.path for f in t.snapshot().files}
     assert set(_disk_parquets(t.root)) == live
+
+
+def test_uncommitted_snapshot_ahead_of_pointer_is_swept(spark, tmp_path):
+    """ADVICE r4 #3: a commit that wrote v{cur+1}.json but crashed before
+    the pointer swing must not pin its files as live forever. Inside the
+    grace window the ahead-of-pointer snapshot is treated as a possible
+    commit mid-swing (retained); past it, the JSON is removed and its
+    now-unreferenced data files fall to the orphan sweep."""
+    import json as _json
+
+    from game_library_enrichment_etl_spark.lake.snapshot import (
+        read_snapshot, snapshot_path,
+    )
+
+    ev = gen_change_events(300, 60, seed=94)
+    paths = write_change_segments(str(tmp_path / "wal"), ev.drop(columns=["title"]), 2)
+    t = create_pages_table(spark, str(tmp_path / "pages"), n_buckets=4)
+    apply_batch(t, spark.read.parquet(paths[0]))
+
+    cur = t.snapshot().version
+    # forge the crashed commit: v{cur+1}.json referencing one extra data
+    # file, written WITHOUT swinging the pointer (exactly the crash window)
+    crash_dir = os.path.join(t.root, "data", "v77-crashed", "_bucket=1")
+    os.makedirs(crash_dir)
+    crash_file = os.path.join(crash_dir, "part-00000-crashed.parquet")
+    with open(crash_file, "wb") as fh:
+        fh.write(b"crashed commit payload")
+    snap = read_snapshot(t.root, cur)
+    d = snap.to_json()
+    d["version"] = cur + 1
+    d["parent"] = cur
+    d["files"] = d["files"] + [{
+        "path": os.path.relpath(crash_file, t.root), "bucket": 1, "rows": 1,
+        "min_key": None, "max_key": None,
+        "schema_version": d["files"][0]["schema_version"] if d["files"] else 1,
+        "sequence": 99,
+    }]
+    with open(snapshot_path(t.root, cur + 1), "w") as fh:
+        _json.dump(d, fh)
+
+    before = t.read().toPandas().sort_values("url").reset_index(drop=True)
+
+    # inside grace: mid-swing protection — snapshot retained, file pinned
+    m1 = expire_snapshots(t, keep_last=1, orphan_grace_s=3600.0)
+    assert m1["uncommitted_snapshots_removed"] == 0
+    assert os.path.exists(crash_file)
+    assert os.path.exists(snapshot_path(t.root, cur + 1))
+
+    # past grace: JSON removed, orphaned file reclaimed, pointer untouched
+    m2 = expire_snapshots(t, keep_last=1, orphan_grace_s=0.0)
+    assert m2["uncommitted_snapshots_removed"] == 1
+    assert not os.path.exists(snapshot_path(t.root, cur + 1))
+    assert not os.path.exists(crash_file)
+    assert t.snapshot().version == cur
+    after = t.read().toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+
+    # the next successful commit proceeds normally over the healed table
+    apply_batch(t, spark.read.parquet(paths[1]))
+    assert t.snapshot().version == cur + 1
