@@ -42,16 +42,45 @@ def _probe_alu_mops(sample_s: float = 4.0) -> float:
     (scaling attempt at probe 4.3-4.7: efficiency 0.138 at <=1.4% steal,
     BENCH/hunt_r5f_attempts.jsonl). Sampled before each group run so an
     epoch-degraded measurement is retried and, if the epoch persists, at
-    least stamped in the artifact instead of read as a code regression."""
+    least stamped in the artifact instead of read as a code regression.
+
+    Units (r5g): the loop MUST execute at module-global scope — the
+    byte-identical source inside a function body reads a stable ~1.38x
+    higher (CPython LOAD_FAST locals vs dict-backed globals), which would
+    silently loosen the 5.2 gate calibrated against BENCH/scaling.py's
+    pinned module-global ``_PROBE_SRC`` (healthy 5.3-5.9, degraded
+    4.3-5.1); measured side by side in-process: 7.1-7.5 vs 5.2-5.4 at the
+    same instant. Hence exec() into a fresh globals dict, and the calling
+    thread is pinned to the probe core (31, matching the watcher) for the
+    sample, restoring affinity after."""
+    src = (
+        "t0 = time.perf_counter()\n"
+        "acc = 0\n"
+        "for i in range(2_000_000):\n"
+        "    acc = (acc * 1103515245 + 12345 + i) & 0xFFFFFFFF\n"
+        "rate = 2.0 / (time.perf_counter() - t0)\n"
+    )
     try:
-        t_end = time.monotonic() + sample_s
-        vals = []
-        while time.monotonic() < t_end:
-            t0 = time.perf_counter()
-            acc = 0
-            for i in range(2_000_000):
-                acc = (acc * 1103515245 + 12345 + i) & 0xFFFFFFFF
-            vals.append(2.0 / (time.perf_counter() - t0))
+        code = compile(src, "<alu-probe>", "exec")
+        old_aff = None
+        try:  # sched_setaffinity(0, ...) binds only the calling thread
+            old_aff = os.sched_getaffinity(0)
+            os.sched_setaffinity(0, {max(old_aff)})
+        except (AttributeError, OSError):
+            old_aff = None
+        try:
+            t_end = time.monotonic() + sample_s
+            vals = []
+            while time.monotonic() < t_end:
+                g = {"time": time}
+                exec(code, g)
+                vals.append(g["rate"])
+        finally:
+            if old_aff is not None:
+                try:
+                    os.sched_setaffinity(0, old_aff)
+                except OSError:
+                    pass
         vals.sort()
         return round(vals[len(vals) // 2], 2)
     except Exception:
