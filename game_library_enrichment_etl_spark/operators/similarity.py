@@ -70,11 +70,18 @@ def blocked_similarity_join(
     hash of the left key) and unioning the candidates in once per salt —
     still a single equi-join, with the fallback work spread across S tasks
     instead of concentrating in one."""
+    # fan the probe side out over the cores, hashed on l_key: a small
+    # single-row-group left input otherwise arrives in ONE scan partition,
+    # so the entire |blocks| x |candidates| levenshtein stage runs on one
+    # task (measured: 4.3s serial -> ~0.5s at sf0.1). Hashing on l_key
+    # (not round-robin) also lets the per-l_key top-1 window reuse this
+    # partitioning instead of adding its own exchange.
+    nparts = left.sparkSession.sparkContext.defaultParallelism
     lb = left.select(
         F.col(left_key).alias("l_key"),
         F.col(left_text).alias("l_txt"),
         F.lower(F.substring(F.col(left_text), 1, block_len)).alias("blk"),
-    )
+    ).repartition(nparts, "l_key")
     rb = right.select(
         F.col(right_key).alias("r_key"),
         F.col(right_text).alias("r_txt"),

