@@ -59,15 +59,33 @@ PREFLIGHT_CAP_S = float(os.environ.get("WATCH_PREFLIGHT_CAP_S", str(90 * 60)))
 
 
 def _preflight_alu(sample_s: float = 8.0) -> float:
-    """Median ALU Mops of a short pinned-core probe burst (epoch pre-check)."""
+    """Median ALU Mops of a short pinned-core probe burst (epoch pre-check).
+
+    ADVICE r5: on a host without ``taskset`` (or with a probe that emits
+    nothing) this used to crash or return 0.0 — which the caller reads as
+    a degraded epoch and defers for the full preflight cap. Now falls
+    back to an unpinned probe, and a probe that still yields no samples
+    returns +inf (gate-bypassed, logged) instead of 0.0 (gate-failed)."""
     core = (os.cpu_count() or 32) - 1
-    p = subprocess.Popen(
+    cmds = (
         ["taskset", "-c", str(core), sys.executable, "-u", "-c", _PROBE_SRC],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        [sys.executable, "-u", "-c", _PROBE_SRC],  # fallback: unpinned
     )
-    time.sleep(sample_s)
-    p.terminate()
-    out, _ = p.communicate(timeout=10)
+    out = ""
+    for cmd in cmds:
+        try:
+            p = subprocess.Popen(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True
+            )
+        except OSError:
+            continue  # taskset missing: try the unpinned fallback
+        time.sleep(sample_s)
+        p.terminate()
+        out, _ = p.communicate(timeout=10)
+        if cmd[0] != "taskset":
+            print("watch_quiet: taskset unavailable, probe ran unpinned",
+                  flush=True)
+        break
     vals = []
     for line in out.splitlines():
         try:
@@ -76,7 +94,11 @@ def _preflight_alu(sample_s: float = 8.0) -> float:
         except (ValueError, ZeroDivisionError):
             continue
     vals.sort()
-    return vals[len(vals) // 2] if vals else 0.0
+    if not vals:
+        print("watch_quiet: epoch probe yielded no samples; "
+              "bypassing the preflight gate", flush=True)
+        return float("inf")
+    return vals[len(vals) // 2]
 
 
 def main() -> None:

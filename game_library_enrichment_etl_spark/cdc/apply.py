@@ -174,6 +174,57 @@ def _apply_batch_inner(
         else F.lit(False)
     )
 
+    # ---- schema evolution resolved up front (driver-side only: schema +
+    # snapshot metadata, no action) so the normalized projection exists
+    # before any job runs — the exact winner-stats pass can then overlap
+    # the offsets pass below (guide §2.6).
+    payload_struct = batch.drop(*[c for c in META_COLS if c in batch.columns]).schema
+    evo = table.resolve_schema(payload_struct, rename_hints)
+    cur = evo.schema
+    rev = {v: k for k, v in evo.batch_to_current.items()}  # current -> batch name
+    computed = _computed_cols(cur.names())
+    payload_fields = [
+        f for f in cur.fields if f.name not in computed and f.name != DELETED_COL
+    ]
+    sel = [F.col(OP_COL)]
+    for f in payload_fields:
+        src = rev.get(f.name)
+        sel.append(
+            (F.col(src) if src is not None else F.lit(None)).cast(f.type).alias(f.name)
+        )
+
+    def _project_norm_bid(b: DataFrame) -> DataFrame:
+        return b.select(*sel, F.col("batch_id"))
+
+    # ---- overlap action 2 with action 1 when action 2 runs UNCONDITIONALLY
+    # (every non-fused-MOR path): both are independent skinny aggregations
+    # over the persisted batch, so submitting the exact pass from a driver
+    # thread lets its stages back-fill the stats job's tail instead of
+    # paying two full job latencies in sequence (guide §2.6). The filter
+    # here uses the full applied-marker set (a superset of the replayed
+    # ids the sequential path filters) — identical surviving rows. Skipped
+    # when the marker set is huge: an isin() over 10^5 literals bloats the
+    # plan, and the sequential path costs one small job's latency.
+    use_mor_candidate = (
+        table.merge_strategy == "mor"
+        and mode == "overwrite"
+        and DELETED_COL in cur.names()
+    )
+    exact_future = None
+    if not (use_mor_candidate and mor_path == "fused") and len(applied) <= 10_000:
+        pre = batch
+        if applied:
+            pre = pre.where(~F.col("batch_id").isin(*[int(x) for x in applied]))
+        if lateness_s is not None and wm_us is not None:
+            pre = pre.where(~late_pred)
+        from concurrent.futures import ThreadPoolExecutor
+
+        _exact_pool = ThreadPoolExecutor(max_workers=1)
+        exact_future = _exact_pool.submit(
+            _exact_winner_stats, _project_norm_bid(pre), key, order_cols
+        )
+        _exact_pool.shutdown(wait=False)
+
     # ---- action 1: per-(segment, bucket) offset/late stats in one skinny
     # column-pruned pass (batch_id, lsn, ts, key — html never read here).
     # Grouping by bucket as well costs nothing (map-side combine reduces to
@@ -221,6 +272,8 @@ def _apply_batch_inner(
     seg_stats = sorted(by_seg.values(), key=lambda d: d["batch_id"])
     new_ids = [d["batch_id"] for d in seg_stats if d["batch_id"] not in applied]
     if not new_ids:
+        if exact_future is not None:
+            exact_future.result()  # drain: its input is empty after the filter
         return ApplyResult(True, snap.version, {"reason": "all batch_ids already applied"})
     replayed = [d["batch_id"] for d in seg_stats if d["batch_id"] in applied]
     seg_stats = [d for d in seg_stats if d["batch_id"] in set(new_ids)]
@@ -236,25 +289,12 @@ def _apply_batch_inner(
     # winners' bucket set equals the surviving events' bucket set
     touched = sorted({b for d in seg_stats for b in (d["buckets"] or [])})
 
-    # ---- schema evolution resolved at apply time (add / rename / widen)
-    payload_struct = batch.drop(*[c for c in META_COLS if c in batch.columns]).schema
-    evo = table.resolve_schema(payload_struct, rename_hints)
-    cur = evo.schema
-    rev = {v: k for k, v in evo.batch_to_current.items()}  # current -> batch name
-    computed = _computed_cols(cur.names())
-    payload_fields = [
-        f for f in cur.fields if f.name not in computed and f.name != DELETED_COL
-    ]
-    sel = [F.col(OP_COL)]
-    for f in payload_fields:
-        src = rev.get(f.name)
-        sel.append(
-            (F.col(src) if src is not None else F.lit(None)).cast(f.type).alias(f.name)
-        )
-    norm_bid = batch.select(*sel, F.col("batch_id"))
+    norm_bid = _project_norm_bid(batch)
     normalized = norm_bid.drop("batch_id")
 
     if not touched:  # nothing survived late-drop/replay: commit markers only
+        if exact_future is not None:
+            exact_future.result()  # drain: its input is empty after the filters
         new_snap = table.commit([], set(), new_ids, cur if evo.changed else None,
                                 _wm_update(wm_us, max_ts, lateness_s),
                                 expected_version=snap.version)
@@ -306,26 +346,10 @@ def _apply_batch_inner(
     #   multi-segment lineage rows carry their own counts instead of
     #   copies of the batch totals.
     if need_exact:
-        ver = F.struct(*[F.col(c) for c in order_cols])
         seg_rows = (
-            norm_bid.select(key, OP_COL, "batch_id", *order_cols)
-            .groupBy(key)
-            .agg(
-                F.max_by(
-                    F.struct(F.col(OP_COL).alias("op"), F.col("batch_id").alias("bid")),
-                    ver,
-                ).alias("_w"),
-                F.count(F.lit(1)).alias("_kn"),
-                F.countDistinct(ver).alias("_kd"),
-            )
-            .groupBy(F.col("_w.bid").alias("batch_id"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum((F.col("_w.op") == "D").cast("long")).alias("n_del"),
-                F.max("_kn").alias("max_key_rows"),
-                F.max(F.col("_kn") - F.col("_kd")).alias("max_dup"),
-            )
-            .collect()
+            exact_future.result()
+            if exact_future is not None
+            else _exact_winner_stats(norm_bid, key, order_cols)
         )
         if any(int(r["max_dup"] or 0) > 0 for r in seg_rows):
             raise RuntimeError(
@@ -464,9 +488,20 @@ def _apply_batch_inner(
         if mode == "coalesce":
             winners = _fold_partial_updates(normalized, key, order_cols)
         else:
+            # latency/throughput switch on measured batch size: a batch
+            # small enough to sort in one shard is latency-bound, and the
+            # one-exchange max_by aggregation beats skinny's two-stage
+            # (keys agg + SHUFFLE_HASH payload fetch) by two exchanges of
+            # scheduling latency. Big batches keep the skinny strategy:
+            # max_by over a payload-bearing struct falls back to
+            # SortAggregate and sorts every payload byte twice (the r3
+            # measurement that motivated skinny).
+            from ..lake.table import ROWS_PER_SORT_SHARD
+
+            small_batch = (events_in - late_dropped) <= ROWS_PER_SORT_SHARD
             winners = lww_dedup(
                 normalized, key, order_cols,
-                strategy="salted" if hot else dedup_strategy,
+                strategy="salted" if hot else ("agg" if small_batch else dedup_strategy),
                 unique_versions=True,
             )
         for cname, src_col in computed.items():
@@ -538,6 +573,34 @@ def _apply_batch_inner(
     metrics["phases_s"] = phase_t
     _append_lineage(table.root, seg_stats, metrics, new_snap.version)
     return ApplyResult(False, new_snap.version, metrics, seg_stats)
+
+
+def _exact_winner_stats(norm_bid: DataFrame, key: str, order_cols) -> list:
+    """Action 2's aggregation (see the need_exact comment block): per-key
+    winner fold over the skinny projection, re-grouped by the winning
+    row's batch_id. Factored out so the always-exact paths can submit it
+    from a driver thread concurrently with the offsets pass."""
+    ver = F.struct(*[F.col(c) for c in order_cols])
+    return (
+        norm_bid.select(key, OP_COL, "batch_id", *order_cols)
+        .groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(F.col(OP_COL).alias("op"), F.col("batch_id").alias("bid")),
+                ver,
+            ).alias("_w"),
+            F.count(F.lit(1)).alias("_kn"),
+            F.countDistinct(ver).alias("_kd"),
+        )
+        .groupBy(F.col("_w.bid").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_w.op") == "D").cast("long")).alias("n_del"),
+            F.max("_kn").alias("max_key_rows"),
+            F.max(F.col("_kn") - F.col("_kd")).alias("max_dup"),
+        )
+        .collect()
+    )
 
 
 def _count_tombstones(root: str, files) -> int:

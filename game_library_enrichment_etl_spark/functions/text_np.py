@@ -49,6 +49,20 @@ def _stopword_pattern(words: list[str]) -> str:
     return rf"(?:^| )(?:{alt})(?= |$)"
 
 
+# token -> indices of the (sorted) languages whose stopword list holds it.
+# In single-space-normalized text, counting ``tok == word`` over split(' ')
+# tokens equals counting the boundary-anchored regex above (the regex
+# consumes the leading boundary and looks ahead at the trailing one), but a
+# dict probe per token replaces a 10-way alternation scan per language —
+# the regex path's backtracking was ~70% of lang_id_np's wall (r6).
+_SORTED_LANGS = sorted(LANG_STOPWORDS)
+_STOPWORD_LUT: dict[str, tuple[int, ...]] = {}
+for _i, _lang in enumerate(_SORTED_LANGS):
+    for _w in LANG_STOPWORDS[_lang]:
+        _STOPWORD_LUT[_w] = _STOPWORD_LUT.get(_w, ()) + (_i,)
+_EN_STOPWORDS = frozenset(LANG_STOPWORDS["en"])
+
+
 def _quality_token_stats_impl(text: pd.Series) -> pd.DataFrame:
     """Vectorized (token_count, bpe_ish_token_count, punct_ratio round 6,
     quality_score) — value-equal to functions/text.py."""
@@ -67,7 +81,15 @@ def _quality_token_stats_impl(text: pd.Series) -> pd.DataFrame:
 
     punct_ratio = np.where(raw_len > 0, puncts / np.maximum(raw_len, 1.0), 0.0)
 
-    sw_hits = norm.str.count(_stopword_pattern(LANG_STOPWORDS["en"])).to_numpy(np.float64)
+    en = _EN_STOPWORDS
+    sw_hits = np.fromiter(
+        (
+            sum(tok in en for tok in t.split(" ")) if t else 0
+            for t in norm.tolist()
+        ),
+        dtype=np.float64,
+        count=len(norm),
+    )
     sw_ratio = np.where(n_tok > 0, sw_hits / np.maximum(n_tok, 1.0), 0.0)
     mean_wl = np.where(nlen > 0, (nlen - spaces) / np.maximum(n_tok, 1.0), 0.0)
 
@@ -102,14 +124,18 @@ def _lang_id_impl(text: pd.Series) -> pd.Series:
     functions/text.py lang_id (max votes wins, alphabetical tie-break,
     'und' on zero votes)."""
     norm = _normalize(text.fillna(""))
-    langs = sorted(LANG_STOPWORDS)
-    counts = np.stack(
-        [
-            norm.str.count(_stopword_pattern(LANG_STOPWORDS[lang])).to_numpy(np.int64)
-            for lang in langs
-        ],
-        axis=1,
-    )
+    langs = _SORTED_LANGS
+    lut = _STOPWORD_LUT
+    counts = np.zeros((len(norm), len(langs)), dtype=np.int64)
+    for d, t in enumerate(norm.tolist()):
+        if not t:
+            continue
+        row = counts[d]
+        for tok in t.split(" "):
+            li = lut.get(tok)
+            if li is not None:
+                for i in li:
+                    row[i] += 1
     best = counts.max(axis=1)
     # argmax returns the FIRST max — langs are sorted, so ties break
     # alphabetically exactly like the Catalyst array_min over winners

@@ -65,12 +65,14 @@ def table_write_lock(
             except FileNotFoundError:
                 continue  # holder released between open and stat; retry now
             if time.time() - st.st_mtime > stale_ttl_s:
-                # stale holder (crashed without unlock): break the lock.
-                # A racing breaker is fine — both remove, one recreates.
-                try:
-                    os.remove(path)
-                except FileNotFoundError:
-                    pass
+                # stale holder (crashed without unlock): break the lock
+                # under a breaker mutex — two naked breakers could race a
+                # fresh acquirer (A removes + X recreates, then B's late
+                # remove deletes X's LIVE lock; VERDICT r5 next #8). With
+                # the O_EXCL breaker file, only one process may stat+remove
+                # at a time, and it re-checks staleness under the mutex —
+                # a lock recreated meanwhile is fresh and survives.
+                _break_stale(path, stale_ttl_s)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -83,5 +85,42 @@ def table_write_lock(
     finally:
         try:
             os.remove(path)
+        except FileNotFoundError:
+            pass
+
+
+def _break_stale(path: str, stale_ttl_s: float, breaker_ttl_s: float = 10.0) -> None:
+    """Remove a stale lock file, serialized through ``path + '.breaker'``.
+
+    The breaker critical section is a stat + conditional remove
+    (microseconds), so its own staleness window is generous at 10s; a
+    crashed breaker's file is aged out the same way. Callers re-poll
+    after this returns regardless of who won."""
+    b = path + ".breaker"
+    try:
+        fd = os.open(b, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        # another breaker is (or crashed while) breaking; age out its
+        # marker and let the caller's poll loop retry
+        try:
+            if time.time() - os.stat(b).st_mtime > breaker_ttl_s:
+                os.remove(b)
+        except FileNotFoundError:
+            pass
+        return
+    try:
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            return
+        if time.time() - st.st_mtime > stale_ttl_s:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+    finally:
+        try:
+            os.remove(b)
         except FileNotFoundError:
             pass

@@ -59,7 +59,12 @@ def cosine_topk(
     join is a broadcast nested loop over corpus partitions (no shuffle of
     the corpus)."""
     q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"))
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # fan the corpus side out: a single-row-group input is one scan task,
+    # which would run every interpreted dot product serially (r6)
+    nparts = embeddings.sparkSession.sparkContext.defaultParallelism
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).repartition(nparts, "neighbor_id")
     scored = c.crossJoin(F.broadcast(q)).where(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
@@ -179,7 +184,11 @@ def srp_lsh_topk(
         if vectorized
         else (lambda v: srp_bucket(v, n_bits, dim))
     )
-    c = embeddings.select(
+    # fan out before the bucket projection: a single-row-group corpus is
+    # one scan task, which would compute every per-row SRP projection
+    # (n_bits interpreted dot products each) serially (r6)
+    nparts = embeddings.sparkSession.sparkContext.defaultParallelism
+    c = embeddings.repartition(nparts, F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         bucket(F.col(vec_col)).alias("bkt"),

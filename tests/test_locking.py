@@ -160,3 +160,50 @@ def test_concurrent_appliers_no_lost_update(spark, tmp_path):
     assert list(got["url"]) == list(want["url"])
     assert list(got["lsn"]) == list(want["lsn"])
     assert list(got["text"]) == list(want["text"])
+
+
+def test_stale_break_race_cannot_remove_fresh_lock(tmp_path):
+    """VERDICT r5 next #8: two breakers racing a fresh acquirer. A late
+    breaker (B) must not delete a LIVE lock created after an earlier
+    breaker (A) already removed the stale one. The breaker mutex makes
+    B's stat+remove re-check staleness, so the fresh lock survives."""
+    import json
+    import os
+    import time as _time
+
+    from game_library_enrichment_etl_spark.lake.locking import (
+        LOCK_NAME,
+        _break_stale,
+    )
+
+    root = str(tmp_path)
+    path = os.path.join(root, LOCK_NAME)
+
+    # 1. a stale lock (holder died long ago)
+    with open(path, "w") as fh:
+        json.dump({"pid": 1, "ts": 0}, fh)
+    os.utime(path, (_time.time() - 10_000, _time.time() - 10_000))
+
+    # 2. breaker A removes it (legitimately: still stale under the mutex)
+    _break_stale(path, stale_ttl_s=600.0)
+    assert not os.path.exists(path), "A must break the genuinely stale lock"
+
+    # 3. a fresh acquirer takes the lock
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, json.dumps({"pid": os.getpid(), "ts": _time.time()}).encode())
+    os.close(fd)
+
+    # 4. breaker B, still acting on its earlier 'stale' observation,
+    #    attempts the break — the re-check under the mutex must keep the
+    #    fresh lock alive (the pre-fix code removed it unconditionally)
+    _break_stale(path, stale_ttl_s=600.0)
+    assert os.path.exists(path), "B must not delete the fresh lock"
+
+    # 5. while ANOTHER breaker holds the mutex, B cannot touch the lock
+    #    even if it looks stale
+    os.utime(path, (_time.time() - 10_000, _time.time() - 10_000))
+    with open(path + ".breaker", "w"):
+        pass
+    _break_stale(path, stale_ttl_s=600.0)
+    assert os.path.exists(path), "no removal without holding the breaker mutex"
+    os.remove(path + ".breaker")
