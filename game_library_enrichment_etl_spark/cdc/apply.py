@@ -120,15 +120,34 @@ def apply_batch(
         now = time.monotonic()
         phase_t[name] = round(now - (t0 + sum(phase_t.values())), 3)
 
-    # Persist the micro-batch for the duration of the apply (guide §5):
-    # every path runs 2-3 actions over it (skinny stats, exact winner
-    # stats on COW, the merge/write itself), and without the cache each
-    # action re-scans and re-derives the batch from its source — for a
-    # single-row-group parquet source that re-scan is a SERIAL task per
-    # action. Batch-sized (bounded, micro-batch contract), MEMORY_AND_DISK
-    # so an oversized batch spills instead of OOMing, and unpersisted in
-    # the finally below. This caches the per-apply input inside the timed
-    # apply, not any cross-run result.
+    # Persist the micro-batch for the duration of the apply (guide §5)
+    # WHEN its source scan is NARROW: every path runs 2-3 actions over the
+    # batch (skinny stats, exact winner stats on COW, the merge/write),
+    # and a single-row-group/low-split source re-scans and re-derives
+    # SERIALLY per action — the cache turns that into one serial pass
+    # (measured −1s/batch at 12.5k-event batches over a one-split
+    # source). Over an already-parallel source the re-scan is cheap and
+    # caching the payload bytes is pure overhead (measured +5-15% apply
+    # wall at 250k-event batches over a 32-split source, both MOR and
+    # COW), so wide scans run uncached. The probe is metadata-only:
+    # inputFiles() is the file list the scan splits (batch.rdd
+    # .getNumPartitions() would be exact but pays a full physical
+    # planning per batch, ~0.1s measured). MEMORY_AND_DISK (spills,
+    # never OOMs); unpersisted in the finally. This caches the per-apply
+    # input inside the timed apply, not any cross-run result.
+    narrow_source = False
+    try:
+        n_src_files = len(batch.inputFiles())
+        cores = batch.sparkSession.sparkContext.defaultParallelism
+        narrow_source = 0 < n_src_files <= max(2, cores // 8)
+    except Exception:
+        pass
+    if not narrow_source:
+        return _apply_batch_inner(
+            table, batch, mode, dedup_strategy, rename_hints, lateness_s,
+            default_batch_id, hot_key_threshold, mor_path, t0, phase_t, _mark,
+            overlap_ok=False,
+        )
     from pyspark import StorageLevel
 
     batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
@@ -136,6 +155,7 @@ def apply_batch(
         return _apply_batch_inner(
             table, batch, mode, dedup_strategy, rename_hints, lateness_s,
             default_batch_id, hot_key_threshold, mor_path, t0, phase_t, _mark,
+            overlap_ok=True,
         )
     finally:
         batch.unpersist(False)
@@ -154,6 +174,7 @@ def _apply_batch_inner(
     t0: float,
     phase_t: dict[str, float],
     _mark,
+    overlap_ok: bool = True,
 ) -> ApplyResult:
     spark = table.spark
     snap = table.snapshot()
@@ -200,18 +221,26 @@ def _apply_batch_inner(
     # (every non-fused-MOR path): both are independent skinny aggregations
     # over the persisted batch, so submitting the exact pass from a driver
     # thread lets its stages back-fill the stats job's tail instead of
-    # paying two full job latencies in sequence (guide §2.6). The filter
-    # here uses the full applied-marker set (a superset of the replayed
-    # ids the sequential path filters) — identical surviving rows. Skipped
-    # when the marker set is huge: an isin() over 10^5 literals bloats the
-    # plan, and the sequential path costs one small job's latency.
+    # paying two full job latencies in sequence (guide §2.6). Gated on the
+    # narrow-source/persist decision (``overlap_ok``): that is the
+    # latency-bound regime where job latency dominates; two concurrent
+    # core-saturating jobs over a wide source just interleave (and race
+    # the cacheless scans). The filter here uses the full applied-marker
+    # set (a superset of the replayed ids the sequential path filters) —
+    # identical surviving rows. Skipped when the marker set is huge: an
+    # isin() over 10^5 literals bloats the plan, and the sequential path
+    # costs one small job's latency.
     use_mor_candidate = (
         table.merge_strategy == "mor"
         and mode == "overwrite"
         and DELETED_COL in cur.names()
     )
     exact_future = None
-    if not (use_mor_candidate and mor_path == "fused") and len(applied) <= 10_000:
+    if (
+        overlap_ok
+        and not (use_mor_candidate and mor_path == "fused")
+        and len(applied) <= 10_000
+    ):
         pre = batch
         if applied:
             pre = pre.where(~F.col("batch_id").isin(*[int(x) for x in applied]))
@@ -489,16 +518,17 @@ def _apply_batch_inner(
             winners = _fold_partial_updates(normalized, key, order_cols)
         else:
             # latency/throughput switch on measured batch size: a batch
-            # small enough to sort in one shard is latency-bound, and the
+            # under the minimum shard grain is latency-bound, and the
             # one-exchange max_by aggregation beats skinny's two-stage
             # (keys agg + SHUFFLE_HASH payload fetch) by two exchanges of
-            # scheduling latency. Big batches keep the skinny strategy:
+            # scheduling latency. Bigger batches keep the skinny strategy:
             # max_by over a payload-bearing struct falls back to
             # SortAggregate and sorts every payload byte twice (the r3
-            # measurement that motivated skinny).
-            from ..lake.table import ROWS_PER_SORT_SHARD
+            # measurement that motivated skinny; re-confirmed r6 at
+            # 250k-event batches, where agg measured slower).
+            from ..lake.table import MIN_ROWS_PER_SHARD
 
-            small_batch = (events_in - late_dropped) <= ROWS_PER_SORT_SHARD
+            small_batch = (events_in - late_dropped) <= MIN_ROWS_PER_SHARD
             winners = lww_dedup(
                 normalized, key, order_cols,
                 strategy="salted" if hot else ("agg" if small_batch else dedup_strategy),
