@@ -91,7 +91,13 @@ def test_fused_mor_plan_shape(spark):
                             {"text": "html"}, 32)
     plan = executed_plan(out)
     assert plan.count("Exchange") == 1, f"expected exactly one exchange:\n{plan}"
-    assert plan.count("+- Sort") == 1, f"expected exactly one sort:\n{plan}"
+    # count Sort NODES: the node renders as "+- Sort [..." or, when it heads
+    # a WholeStageCodegen block, "+- *(n) Sort [..." — the star prefix
+    # depends on codegen stage numbering, which varies with session history
+    import re
+
+    n_sorts = len(re.findall(r"(?:\+- |^)(?:\*\(\d+\) )?Sort \[", plan, re.M))
+    assert n_sorts == 1, f"expected exactly one sort:\n{plan}"
     # operator order bottom-up: Sort -> Window -> Filter -> ArrowEvalPython
     i_win, i_filt, i_py = plan.index("Window"), plan.index("Filter"), plan.index("ArrowEvalPython")
     assert i_py < i_filt < i_win, f"extraction must sit above the winner filter:\n{plan}"
