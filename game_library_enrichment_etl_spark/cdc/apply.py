@@ -68,7 +68,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.extract import EXTRACTOR_VERSION, extract_text_udf
-from ..lake.table import BUCKET_COL, DELETED_COL, IceletTable, bucket_expr
+from ..lake.table import (
+    BUCKET_COL,
+    DELETED_COL,
+    MIN_ROWS_PER_SHARD,
+    IceletTable,
+    bucket_expr,
+)
 from ..operators.lww import lww_dedup
 
 META_COLS = ("op", "batch_id")
@@ -136,12 +142,29 @@ def apply_batch(
     # never OOMs); unpersisted in the finally. This caches the per-apply
     # input inside the timed apply, not any cross-run result.
     narrow_source = False
+    src_rows_bound: int | None = None
     try:
-        n_src_files = len(batch.inputFiles())
+        src_files = batch.inputFiles()
         cores = batch.sparkSession.sparkContext.defaultParallelism
-        narrow_source = 0 < n_src_files <= max(2, cores // 8)
+        narrow_source = 0 < len(src_files) <= max(2, cores // 8)
+        if narrow_source:
+            # sound upper bound on the batch's row count from the source
+            # files' parquet footers (metadata-only, <=4 files, ~ms): the
+            # batch is a filtered projection of these files, so its rows
+            # never exceed their total. Gates the stats/write overlap
+            # below (bound <= hot threshold proves no hot key) and sizes
+            # the fused write's layout when the overlap skips the exact
+            # pre-count.
+            from urllib.parse import unquote, urlparse
+
+            src_rows_bound = 0
+            for p in src_files:
+                path = unquote(urlparse(p).path) if "://" in p or p.startswith(
+                    "file:"
+                ) else p
+                src_rows_bound += pq.ParquetFile(path).metadata.num_rows
     except Exception:
-        pass
+        src_rows_bound = None
     if not narrow_source:
         return _apply_batch_inner(
             table, batch, mode, dedup_strategy, rename_hints, lateness_s,
@@ -155,7 +178,7 @@ def apply_batch(
         return _apply_batch_inner(
             table, batch, mode, dedup_strategy, rename_hints, lateness_s,
             default_batch_id, hot_key_threshold, mor_path, t0, phase_t, _mark,
-            overlap_ok=True,
+            overlap_ok=True, src_rows_bound=src_rows_bound,
         )
     finally:
         batch.unpersist(False)
@@ -175,6 +198,7 @@ def _apply_batch_inner(
     phase_t: dict[str, float],
     _mark,
     overlap_ok: bool = True,
+    src_rows_bound: int | None = None,
 ) -> ApplyResult:
     spark = table.spark
     snap = table.snapshot()
@@ -235,6 +259,37 @@ def _apply_batch_inner(
         and mode == "overwrite"
         and DELETED_COL in cur.names()
     )
+
+    # ---- fused-MOR stats/write OVERLAP (r6, guide §2.6): on the fused
+    # streaming hot path the offsets/late stats job (action 1) and the
+    # fused write are the only two actions, run back to back — two full
+    # job latencies in the latency-bound micro-batch regime. The write
+    # does not actually CONSUME the stats when three facts are knowable
+    # driver-side: (a) the replay filter equals "batch_id not in the
+    # applied-marker set" (a superset of the observed replayed ids —
+    # identical surviving rows), (b) the late filter is a pure predicate
+    # of the snapshot watermark, and (c) no hot key can exist because the
+    # source files' footer row bound is <= hot_key_threshold (a key's
+    # rows never exceed the batch's). The stats job is then submitted
+    # from a driver thread and the write runs concurrently; stats are
+    # joined BEFORE commit (new_ids / watermark / lineage are commit-time
+    # inputs). The bound also caps the write layout exactly as the exact
+    # count would at this size. Gated to the micro-batch regime (bound
+    # <= 4 sort shards): a loose multi-million-row bound would both
+    # overshoot the layout and lose the no-hot-key proof.
+    if (
+        overlap_ok
+        and use_mor_candidate
+        and mor_path == "fused"
+        and len(applied) <= 10_000
+        and src_rows_bound is not None
+        and 0 < src_rows_bound <= min(hot_key_threshold, 4 * MIN_ROWS_PER_SHARD)
+    ):
+        return _apply_fused_overlapped(
+            table, batch, sel, cur, evo, key, order_cols, applied, wm_us,
+            lateness_s, late_pred, snap, src_rows_bound, _mark, t0, phase_t,
+        )
+
     exact_future = None
     if (
         overlap_ok
@@ -264,41 +319,11 @@ def _apply_batch_inner(
     # skippable on the fused MOR path.
     braw = (
         batch.groupBy("batch_id", bucket_expr(key, snap.n_buckets).alias("_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(lsn_col).alias("lsn_min"),
-            F.max(lsn_col).alias("lsn_max"),
-            F.max(ts_col).alias("ts_max"),
-            F.sum(late_pred.cast("long")).alias("late"),
-        )
+        .agg(*_seg_stats_aggs(lsn_col, ts_col, late_pred))
         .collect()
     )
     _mark("t_stats")
-    by_seg: dict[int, dict] = {}
-    for r in braw:
-        d = by_seg.setdefault(
-            r["batch_id"],
-            {
-                "batch_id": r["batch_id"],
-                "events_in": 0,
-                "lsn_min": None,
-                "lsn_max": None,
-                "ts_max": None,
-                "late_dropped": 0,
-                "buckets": set(),
-                "max_bucket_live": 0,
-            },
-        )
-        d["events_in"] += int(r["n"])
-        d["late_dropped"] += int(r["late"] or 0)
-        for col, fold in (("lsn_min", min), ("lsn_max", max), ("ts_max", max)):
-            if r[col] is not None:
-                d[col] = r[col] if d[col] is None else fold(d[col], r[col])
-        live = int(r["n"]) - int(r["late"] or 0)
-        if live > 0:
-            d["buckets"].add(r["_b"])
-            d["max_bucket_live"] = max(d["max_bucket_live"], live)
-    seg_stats = sorted(by_seg.values(), key=lambda d: d["batch_id"])
+    seg_stats = _fold_seg_stats(braw)
     new_ids = [d["batch_id"] for d in seg_stats if d["batch_id"] not in applied]
     if not new_ids:
         if exact_future is not None:
@@ -526,8 +551,6 @@ def _apply_batch_inner(
             # SortAggregate and sorts every payload byte twice (the r3
             # measurement that motivated skinny; re-confirmed r6 at
             # 250k-event batches, where agg measured slower).
-            from ..lake.table import MIN_ROWS_PER_SHARD
-
             small_batch = (events_in - late_dropped) <= MIN_ROWS_PER_SHARD
             winners = lww_dedup(
                 normalized, key, order_cols,
@@ -605,6 +628,198 @@ def _apply_batch_inner(
     return ApplyResult(False, new_snap.version, metrics, seg_stats)
 
 
+def _seg_stats_aggs(lsn_col: str, ts_col: str, late_pred) -> list:
+    """Action 1's aggregate expressions (shared by the sequential and
+    overlapped paths so the two can never drift)."""
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.min(lsn_col).alias("lsn_min"),
+        F.max(lsn_col).alias("lsn_max"),
+        F.max(ts_col).alias("ts_max"),
+        F.sum(late_pred.cast("long")).alias("late"),
+    ]
+
+
+def _fold_seg_stats(braw: list) -> list[dict]:
+    """Fold action 1's per-(segment, bucket) rows into per-segment dicts
+    (events/late counts, lsn/ts extents, touched buckets, the sound
+    per-bucket hot-key bound), sorted by batch_id."""
+    by_seg: dict[int, dict] = {}
+    for r in braw:
+        d = by_seg.setdefault(
+            r["batch_id"],
+            {
+                "batch_id": r["batch_id"],
+                "events_in": 0,
+                "lsn_min": None,
+                "lsn_max": None,
+                "ts_max": None,
+                "late_dropped": 0,
+                "buckets": set(),
+                "max_bucket_live": 0,
+            },
+        )
+        d["events_in"] += int(r["n"])
+        d["late_dropped"] += int(r["late"] or 0)
+        for col, fold in (("lsn_min", min), ("lsn_max", max), ("ts_max", max)):
+            if r[col] is not None:
+                d[col] = r[col] if d[col] is None else fold(d[col], r[col])
+        live = int(r["n"]) - int(r["late"] or 0)
+        if live > 0:
+            d["buckets"].add(r["_b"])
+            d["max_bucket_live"] = max(d["max_bucket_live"], live)
+    return sorted(by_seg.values(), key=lambda d: d["batch_id"])
+
+
+def _apply_fused_overlapped(
+    table: IceletTable,
+    batch: DataFrame,
+    sel: list,
+    cur,
+    evo,
+    key: str,
+    order_cols: tuple[str, ...],
+    applied: set,
+    wm_us,
+    lateness_s: int | None,
+    late_pred,
+    snap,
+    src_rows_bound: int,
+    _mark,
+    t0: float,
+    phase_t: dict[str, float],
+) -> ApplyResult:
+    """Fused-MOR apply with the stats job overlapped against the write
+    (see the gate comment in ``_apply_batch_inner``). Surviving rows,
+    written files, commit markers, metrics and lineage are identical to
+    the sequential fused path: the replay filter uses the full
+    applied-marker set (same survivors), the stats job runs over the
+    replay-filtered-but-NOT-late-filtered frame (late counts preserved),
+    and the write additionally drops late rows. Stats are joined before
+    anything is committed."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = table.spark
+    pre = batch
+    if applied:
+        pre = pre.where(~F.col("batch_id").isin(*[int(x) for x in applied]))
+    drop_late = lateness_s is not None and wm_us is not None
+    live = pre.where(~late_pred) if drop_late else pre
+    ts_col, lsn_col = order_cols[0], order_cols[1]
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    stats_future = pool.submit(
+        lambda: pre.groupBy(
+            "batch_id", bucket_expr(key, snap.n_buckets).alias("_b")
+        )
+        .agg(*_seg_stats_aggs(lsn_col, ts_col, late_pred))
+        .collect()
+    )
+    pool.shutdown(wait=False)
+
+    from .fused import fused_mor_winners
+
+    norm_bid = live.select(*sel, F.col("batch_id"))
+    normalized = norm_bid.drop("batch_id")
+    computed = _computed_cols(cur.names())
+    out = fused_mor_winners(
+        normalized, key, OP_COL, order_cols, cur.to_spark(), computed,
+        snap.n_buckets, batch_rows=src_rows_bound,
+    )
+    # AQE off around the fused write only — same rationale and guard as
+    # the sequential path (join-free, explicitly-partitioned plan).
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        files = table.write_data_files_prepartitioned(
+            out, snap.version + 1, cur.version
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    _mark("t_merge_write")
+    seg_stats = _fold_seg_stats(stats_future.result())
+    _mark("t_stats")
+    new_ids = [d["batch_id"] for d in seg_stats]
+    if not new_ids:  # fully replayed (the write saw zero surviving rows)
+        return ApplyResult(True, snap.version, {"reason": "all batch_ids already applied"})
+    events_in = sum(d["events_in"] for d in seg_stats)
+    late_dropped = sum(d["late_dropped"] or 0 for d in seg_stats)
+    max_ts = max((d["ts_max"] for d in seg_stats if d["ts_max"] is not None), default=None)
+    touched = sorted({b for d in seg_stats for b in (d["buckets"] or [])})
+    max_bucket_live = max((d["max_bucket_live"] for d in seg_stats), default=0)
+
+    if not touched:  # nothing survived late-drop: commit markers only
+        new_snap = table.commit([], set(), new_ids, cur if evo.changed else None,
+                                _wm_update(wm_us, max_ts, lateness_s),
+                                expected_version=snap.version)
+        metrics = _metrics(events_in, late_dropped, 0, 0, 0, new_snap)
+        _append_lineage(table.root, seg_stats, metrics, new_snap.version)
+        return ApplyResult(False, new_snap.version, metrics, seg_stats)
+
+    written = sum(f.rows for f in files)
+    if len(new_ids) > 1:
+        # multi-segment: per-segment winner attribution needs the exact
+        # per-key pass (post-write here; the fused pass already enforced
+        # WAL integrity partition-wide during the write)
+        seg_rows = _exact_winner_stats(norm_bid, key, order_cols)
+        if any(int(r["max_dup"] or 0) > 0 for r in seg_rows):
+            raise RuntimeError(
+                "WAL integrity violation: duplicate (key, "
+                f"{', '.join(order_cols)}) delivered within one batch; "
+                "lsn must be a unique sequence number"
+            )
+        n_winners = sum(int(r["n"]) for r in seg_rows)
+        n_deletes = sum(int(r["n_del"] or 0) for r in seg_rows)
+        max_key_rows = max((int(r["max_key_rows"] or 0) for r in seg_rows), default=0)
+        by_bid = {int(r["batch_id"]): r for r in seg_rows}
+        for d in seg_stats:
+            r = by_bid.get(int(d["batch_id"]))
+            d["winners"] = int(r["n"]) if r is not None else 0
+            d["delete_winners"] = int(r["n_del"] or 0) if r is not None else 0
+            d["conflicts_resolved"] = (
+                int(d["events_in"]) - int(d["late_dropped"] or 0) - d["winners"]
+            )
+            d["buckets_touched"] = len(d["buckets"] or [])
+        if written != n_winners:
+            raise RuntimeError(
+                f"fused-merge invariant violation: {written} rows written "
+                f"for {n_winners} winner keys"
+            )
+        stats_path = "exact"
+    else:
+        n_winners = written
+        n_deletes = _count_tombstones(table.root, files)
+        max_key_rows = max_bucket_live
+        d = seg_stats[0]
+        d["winners"] = n_winners
+        d["delete_winners"] = n_deletes
+        d["conflicts_resolved"] = (
+            int(d["events_in"]) - int(d["late_dropped"] or 0) - n_winners
+        )
+        d["buckets_touched"] = len(d["buckets"] or [])
+        stats_path = "manifest"
+    _mark("t_winner_stats")
+
+    new_snap = table.commit(
+        files, set(), new_ids,
+        cur if evo.changed else None,
+        _wm_update(wm_us, max_ts, lateness_s),
+        expected_version=snap.version,
+    )
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    metrics = _metrics(events_in, late_dropped, n_winners, n_deletes, len(touched), new_snap)
+    metrics["wall_ms"] = wall_ms
+    metrics["schema_changed"] = evo.changed
+    metrics["merge_strategy"] = "mor"
+    metrics["max_key_rows"] = max_key_rows
+    metrics["hot_key_routed"] = False
+    metrics["winner_stats_path"] = stats_path
+    metrics["stats_overlapped"] = True
+    metrics["phases_s"] = phase_t
+    _append_lineage(table.root, seg_stats, metrics, new_snap.version)
+    return ApplyResult(False, new_snap.version, metrics, seg_stats)
+
+
 def _exact_winner_stats(norm_bid: DataFrame, key: str, order_cols) -> list:
     """Action 2's aggregation (see the need_exact comment block): per-key
     winner fold over the skinny projection, re-grouped by the winning
@@ -654,6 +869,12 @@ def _count_tombstones(root: str, files) -> int:
 
 
 # --------------------------------------------------------------------- merge
+# Column-expression memo (r6; same rationale as cdc/fused._EXPR_CACHE):
+# the merge's ~6 CASE columns per field cost ~0.2s of py4j round trips
+# per batch and are byte-identical across a steady stream's batches.
+_MERGE_EXPR_CACHE: dict[tuple, dict] = {}
+
+
 def _merge(
     target: DataFrame,
     winners: DataFrame,
@@ -669,11 +890,33 @@ def _merge(
     (stale replays lose; reference precursor: newest-extract-wins,
     /root/reference/src/how_long_to_beat.py:287-296).
     """
+    ck = (
+        target.sparkSession.sparkContext.applicationId,
+        cur.json() if hasattr(cur, "json") else str(cur),
+        tuple(winners.columns), key, order_cols, mode,
+    )
+    hit = _MERGE_EXPR_CACHE.get(ck)
+    if hit is not None:
+        t = target.select(hit["t_aliases"])
+        s = winners.select(hit["s_aliases"])
+        j = t.join(s.hint("SHUFFLE_HASH"), hit["cond"], "full_outer")
+        return j.select(*hit["out_cols"])
     tcols = [f.name for f in cur.fields]
-    t = target.select([F.col(c).alias(f"t_{c}") for c in tcols])
+    t_aliases = [F.col(c).alias(f"t_{c}") for c in tcols]
+    t = target.select(t_aliases)
     s_payload = [c for c in winners.columns if c not in (BUCKET_COL,)]
-    s = winners.select([F.col(c).alias(f"s_{c}") for c in s_payload])
-    j = t.join(s, F.col(f"t_{key}") == F.col(f"s_{key}"), "full_outer")
+    s_aliases = [F.col(c).alias(f"s_{c}") for c in s_payload]
+    s = winners.select(s_aliases)
+    # full-outer joins cannot broadcast; without a hint the planner picks
+    # sort-merge, which sorts every payload byte of BOTH sides. Shuffled
+    # hash (Spark 3.1+ supports full-outer SHJ) builds a hash map from the
+    # batch-winners side — bounded by the batch size per partition — and
+    # STREAMS the target side, so touched-bucket payload bytes are never
+    # sorted (guide §3.1). Measured r6: parity at the sf0.1 latency floor
+    # (~1.5k-row sides); the win is structural — at scale the touched-
+    # bucket target is the big side and skipping its sort is the point.
+    cond = F.col(f"t_{key}") == F.col(f"s_{key}")
+    j = t.join(s.hint("SHUFFLE_HASH"), cond, "full_outer")
 
     s_ver = F.struct(*[F.col(f"s_{c}") for c in order_cols])
     t_ver = F.struct(*[F.col(f"t_{c}") for c in order_cols])
@@ -705,6 +948,10 @@ def _merge(
         )
 
     cols = [merged_val[f.name].alias(f.name) for f in cur.fields]
+    _MERGE_EXPR_CACHE[ck] = {
+        "t_aliases": t_aliases, "s_aliases": s_aliases, "cond": cond,
+        "out_cols": cols,
+    }
     return j.select(*cols)
 
 

@@ -65,6 +65,9 @@ ROWS_PER_SORT_SHARD = 250_000
 MIN_ROWS_PER_SHARD = int(os.environ.get("ICELET_MIN_ROWS_PER_SHARD", "25000"))
 TASK_WAVES = int(os.environ.get("ICELET_TASK_WAVES", "2"))
 GROUPS_PER_PARTITION = int(os.environ.get("ICELET_GROUPS_PER_PARTITION", "8"))
+# latency-regime refinement (see sort_layout): minimum rows per task when
+# splitting a small batch across extra same-salt partitions
+MIN_ROWS_PER_TASK = int(os.environ.get("ICELET_MIN_ROWS_PER_TASK", "3000"))
 
 
 def sort_layout(
@@ -110,6 +113,31 @@ def sort_layout(
         by_spill = -(-total_rows // rows_per_shard)  # ceil: sorter bound
         fine_cap = max(1, -(-total_rows // MIN_ROWS_PER_SHARD))
         n_parts = max(by_spill, min(TASK_WAVES * nparts, fine_cap))
+        # Latency-regime refinement (r6, measured): a bucketed write emits
+        # one file per (bucket, salt) group regardless of n_parts, and a
+        # task's fixed cost is dominated by its per-file inits (open /
+        # footer / close / rename ~15ms each locally) — a small batch
+        # funneled into ONE task writes all n_buckets files serially
+        # (0.86s measured for 32 files at 12.5k rows) while 31 cores
+        # idle. Extra partitions that keep the SALT COUNT unchanged are
+        # free parallelism: same groups, same file count, same layout —
+        # just fewer files per task (0.51s at 4 tasks, same 32 files).
+        # Bounded by MIN_ROWS_PER_TASK rows per task so confetti stays
+        # out, and by the largest partition count whose salt formula
+        # still yields the same n_salts, so file counts (and read/
+        # compaction amplification) are provably unchanged at any scale.
+        if n_parts < TASK_WAVES * nparts and total_rows > MIN_ROWS_PER_TASK:
+            salt_now = max(
+                1, -(-GROUPS_PER_PARTITION * n_parts // max(n_buckets, 1))
+            )
+            same_salt_cap = max(
+                n_parts, salt_now * max(n_buckets, 1) // GROUPS_PER_PARTITION
+            )
+            by_task_grain = total_rows // MIN_ROWS_PER_TASK
+            n_parts = max(
+                n_parts,
+                min(by_task_grain, same_salt_cap, TASK_WAVES * nparts),
+            )
     n_salts = max(1, -(-GROUPS_PER_PARTITION * n_parts // max(n_buckets, 1)))
     return n_parts, n_salts
 
