@@ -399,36 +399,34 @@ def _apply_batch_inner(
     # - per-SEGMENT winner attribution: the winning row's batch_id, so
     #   multi-segment lineage rows carry their own counts instead of
     #   copies of the batch totals.
-    if need_exact:
+    # COW-overwrite deferral (r6): the union-merge write (fused_cow_merge)
+    # consumes nothing from the exact pass — no pre-write sizing (the
+    # prepartitioned write takes no row estimate) and no salting decision
+    # when the bucket bound already proves no hot key — so the exact job
+    # keeps running CONCURRENTLY with the merge write and is absorbed
+    # before commit. The WAL-integrity raise still precedes the commit on
+    # every path (a poisoned batch wastes one write into an uncommitted
+    # uuid directory, which no snapshot ever references).
+    defer_exact = (
+        need_exact
+        and not use_mor
+        and mode != "coalesce"
+        and max_bucket_live <= hot_key_threshold
+    )
+    if need_exact and not defer_exact:
         seg_rows = (
             exact_future.result()
             if exact_future is not None
             else _exact_winner_stats(norm_bid, key, order_cols)
         )
-        if any(int(r["max_dup"] or 0) > 0 for r in seg_rows):
-            raise RuntimeError(
-                "WAL integrity violation: duplicate (key, "
-                f"{', '.join(order_cols)}) delivered within one batch; "
-                "lsn must be a unique sequence number"
-            )
-        n_winners = sum(int(r["n"]) for r in seg_rows)
-        n_deletes = sum(int(r["n_del"] or 0) for r in seg_rows)
-        max_key_rows = max((int(r["max_key_rows"] or 0) for r in seg_rows), default=0)
-        hot = max_key_rows > hot_key_threshold
-        by_bid = {int(r["batch_id"]): r for r in seg_rows}
-        for d in seg_stats:
-            r = by_bid.get(int(d["batch_id"]))
-            d["winners"] = int(r["n"]) if r is not None else 0
-            d["delete_winners"] = int(r["n_del"] or 0) if r is not None else 0
-            d["conflicts_resolved"] = (
-                int(d["events_in"]) - int(d["late_dropped"] or 0) - d["winners"]
-            )
-            d["buckets_touched"] = len(d["buckets"] or [])
+        n_winners, n_deletes, max_key_rows, hot = _absorb_exact(
+            seg_rows, seg_stats, order_cols, hot_key_threshold
+        )
     else:
-        # fast path: integrity is enforced by the fused pass's winner
-        # adjacent-duplicate check; counts come from the written files
-        # post-write. max_key_rows is reported as its sound per-bucket
-        # UPPER BOUND (exact when the exact pass ran).
+        # fast path / deferred: integrity is enforced by the fused pass's
+        # winner adjacent-duplicate check (MOR) or the deferred exact pass
+        # below (COW); counts come post-write. max_key_rows is reported as
+        # its sound per-bucket UPPER BOUND until the exact pass lands.
         hot = False
         n_winners = None
         n_deletes = None
@@ -530,33 +528,13 @@ def _apply_batch_inner(
         files = table.write_data_files(
             out, snap.version + 1, cur.version, post_shuffle=post_shuffle
         )
-    else:
-        # ---- copy-on-write MERGE as a single full-outer join against the
-        # bucket-pruned target (tombstones included: a stale replayed event
-        # must lose to a newer D; target projected to the evolved schema).
-        # Per-batch LWW dedup first (conflicts resolved deterministically).
-        # unique_versions=True: a WAL violating lsn uniqueness already
-        # raised loudly in the skinny stats pass above, so the fetch join
-        # cannot emit duplicate rows per key and the dropDuplicates
-        # guard's full payload re-shuffle (the r3 COW slowdown) is dropped.
-        if mode == "coalesce":
-            winners = _fold_partial_updates(normalized, key, order_cols)
-        else:
-            # latency/throughput switch on measured batch size: a batch
-            # under the minimum shard grain is latency-bound, and the
-            # one-exchange max_by aggregation beats skinny's two-stage
-            # (keys agg + SHUFFLE_HASH payload fetch) by two exchanges of
-            # scheduling latency. Bigger batches keep the skinny strategy:
-            # max_by over a payload-bearing struct falls back to
-            # SortAggregate and sorts every payload byte twice (the r3
-            # measurement that motivated skinny; re-confirmed r6 at
-            # 250k-event batches, where agg measured slower).
-            small_batch = (events_in - late_dropped) <= MIN_ROWS_PER_SHARD
-            winners = lww_dedup(
-                normalized, key, order_cols,
-                strategy="salted" if hot else ("agg" if small_batch else dedup_strategy),
-                unique_versions=True,
-            )
+    elif mode == "coalesce":
+        # ---- copy-on-write MERGE (coalesce mode) as a single full-outer
+        # join against the bucket-pruned target (tombstones included: a
+        # stale replayed event must lose to a newer D; target projected to
+        # the evolved schema). The per-cell fold has no union/window
+        # rendition, so this mode keeps the join formulation.
+        winners = _fold_partial_updates(normalized, key, order_cols)
         for cname, src_col in computed.items():
             winners = winners.withColumn(
                 cname,
@@ -575,7 +553,48 @@ def _apply_batch_inner(
             out, snap.version + 1, cur.version,
             expected_rows=touched_rows + n_winners,
         )
+    else:
+        # ---- copy-on-write MERGE (overwrite mode), union + single route
+        # exchange (cdc/fused.fused_cow_merge, r6): target rows and raw
+        # batch rows union (no shuffle), one exchange routes (bucket,
+        # salt) groups, a partition-local sort + first-of-key filter
+        # yields the merged row — per-key semantics proven equivalent to
+        # the full-outer join in the function's docstring. Replaces three
+        # payload exchanges (batch LWW dedup, the join, the write
+        # repartition) with one, and extraction runs on batch-won winner
+        # rows only, exactly as before. The WAL-integrity raise stays in
+        # the exact stats pass above (always on for COW); a hot-key batch
+        # still pre-reduces with the salted two-phase max so no key
+        # concentrates its raw rows in one route partition.
+        from .fused import fused_cow_merge
+
+        merge_src = normalized
+        if hot:
+            merge_src = lww_dedup(normalized, key, order_cols, strategy="salted")
+        target = table.read(buckets=touched, include_deleted=True, as_schema=cur)
+        replaced = set(touched)
+        touched_rows = sum(f.rows for f in snap.files if f.bucket in replaced)
+        out = fused_cow_merge(
+            target, merge_src, key, OP_COL, order_cols, cur.to_spark(),
+            computed, snap.n_buckets,
+            total_rows=touched_rows + int(events_in - late_dropped),
+        )
+        files = table.write_data_files_prepartitioned(
+            out, snap.version + 1, cur.version
+        )
     _mark("t_merge_write")
+    if defer_exact:
+        # absorb the concurrently-running exact pass (see defer_exact
+        # above): WAL-integrity raise + per-segment attribution, still
+        # strictly before the commit
+        seg_rows = (
+            exact_future.result()
+            if exact_future is not None
+            else _exact_winner_stats(norm_bid, key, order_cols)
+        )
+        n_winners, n_deletes, max_key_rows, _ = _absorb_exact(
+            seg_rows, seg_stats, order_cols, hot_key_threshold
+        )
     if use_mor:
         written = sum(f.rows for f in files)
         if n_winners is None:
@@ -626,6 +645,38 @@ def _apply_batch_inner(
     metrics["phases_s"] = phase_t
     _append_lineage(table.root, seg_stats, metrics, new_snap.version)
     return ApplyResult(False, new_snap.version, metrics, seg_stats)
+
+
+def _absorb_exact(
+    seg_rows: list,
+    seg_stats: list[dict],
+    order_cols: tuple[str, ...],
+    hot_key_threshold: int,
+) -> tuple[int, int, int, bool]:
+    """Fold the exact per-key pass's rows into the batch bookkeeping:
+    raise on WAL-integrity violations (duplicate (key, version) delivery),
+    attribute winner/delete counts to each segment's lineage dict, and
+    return (n_winners, n_deletes, max_key_rows, hot)."""
+    if any(int(r["max_dup"] or 0) > 0 for r in seg_rows):
+        raise RuntimeError(
+            "WAL integrity violation: duplicate (key, "
+            f"{', '.join(order_cols)}) delivered within one batch; "
+            "lsn must be a unique sequence number"
+        )
+    n_winners = sum(int(r["n"]) for r in seg_rows)
+    n_deletes = sum(int(r["n_del"] or 0) for r in seg_rows)
+    max_key_rows = max((int(r["max_key_rows"] or 0) for r in seg_rows), default=0)
+    hot = max_key_rows > hot_key_threshold
+    by_bid = {int(r["batch_id"]): r for r in seg_rows}
+    for d in seg_stats:
+        r = by_bid.get(int(d["batch_id"]))
+        d["winners"] = int(r["n"]) if r is not None else 0
+        d["delete_winners"] = int(r["n_del"] or 0) if r is not None else 0
+        d["conflicts_resolved"] = (
+            int(d["events_in"]) - int(d["late_dropped"] or 0) - d["winners"]
+        )
+        d["buckets_touched"] = len(d["buckets"] or [])
+    return n_winners, n_deletes, max_key_rows, hot
 
 
 def _seg_stats_aggs(lsn_col: str, ts_col: str, late_pred) -> list:
@@ -762,24 +813,9 @@ def _apply_fused_overlapped(
         # per-key pass (post-write here; the fused pass already enforced
         # WAL integrity partition-wide during the write)
         seg_rows = _exact_winner_stats(norm_bid, key, order_cols)
-        if any(int(r["max_dup"] or 0) > 0 for r in seg_rows):
-            raise RuntimeError(
-                "WAL integrity violation: duplicate (key, "
-                f"{', '.join(order_cols)}) delivered within one batch; "
-                "lsn must be a unique sequence number"
-            )
-        n_winners = sum(int(r["n"]) for r in seg_rows)
-        n_deletes = sum(int(r["n_del"] or 0) for r in seg_rows)
-        max_key_rows = max((int(r["max_key_rows"] or 0) for r in seg_rows), default=0)
-        by_bid = {int(r["batch_id"]): r for r in seg_rows}
-        for d in seg_stats:
-            r = by_bid.get(int(d["batch_id"]))
-            d["winners"] = int(r["n"]) if r is not None else 0
-            d["delete_winners"] = int(r["n_del"] or 0) if r is not None else 0
-            d["conflicts_resolved"] = (
-                int(d["events_in"]) - int(d["late_dropped"] or 0) - d["winners"]
-            )
-            d["buckets_touched"] = len(d["buckets"] or [])
+        n_winners, n_deletes, max_key_rows, _ = _absorb_exact(
+            seg_rows, seg_stats, order_cols, hot_key_threshold=2**63 - 1
+        )
         if written != n_winners:
             raise RuntimeError(
                 f"fused-merge invariant violation: {written} rows written "

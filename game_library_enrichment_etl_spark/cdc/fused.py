@@ -182,6 +182,175 @@ def _fused_exprs(
     return built
 
 
+def fused_cow_merge(
+    target: DataFrame,
+    batch: DataFrame,
+    key: str,
+    op_col: str,
+    order_cols: tuple[str, ...],
+    cur_schema: T.StructType,
+    computed: dict[str, str],
+    n_buckets: int,
+    total_rows: int | None = None,
+) -> DataFrame:
+    """COW MERGE as union + one route exchange + partition-local LWW
+    (r6; the copy-on-write twin of ``fused_mor_winners``).
+
+    The join formulation (cdc/apply._merge) moved the touched payload
+    bytes through THREE exchanges: the batch LWW dedup, the full-outer
+    join on key, and the bucket-route repartition before the write. But
+    the merge decision per key — "batch winner replaces the target row
+    iff its (warc_ts, lsn) is >= the target's; op='D' tombstones;
+    otherwise the target row carries forward" — is exactly an LWW fold
+    over the UNION of target rows and batch rows with a source-wins tie
+    break. So: tag target rows pref=0 / batch rows pref=1, union (no
+    shuffle), route-repartition once, sort partition-locally by (key ASC,
+    version DESC, pref DESC), keep each key's first row. Equivalence with
+    the join formulation, case by case for a key's first-sorted row:
+
+    - batch row first and batch version > target's (or no target row):
+      take_src was true — same row wins; tombstoning below matches the
+      join path's delete CASEs.
+    - version tie: pref DESC puts the batch row first; take_src used
+      ``>=`` — same winner.
+    - target row first (its version is higher): take_src was false — the
+      target row carries forward verbatim, including an existing
+      tombstone (its op is re-derived as 'D' from the stored flag, so
+      the projection reproduces ``coalesce(t._deleted, false)``).
+    - batch rows never deduped up front: the sort orders a key's batch
+      rows version-DESC, so the first is the batch LWW winner — the
+      separate pre-merge dedup exchange is gone. Duplicate (key,
+      version) delivery raised in the exact stats pass BEFORE this runs
+      (unchanged), so winner ties within the batch cannot occur.
+
+    Extraction (the only Python work) runs AFTER the winner filter and
+    receives NULL html for target-won and delete rows — target text is
+    passed through, never re-extracted, so per-batch Python cost stays
+    O(batch winners), never O(touched buckets).
+
+    ``target`` must be the bucket-pruned read with tombstones included,
+    projected to ``cur_schema`` (computed columns present); ``batch`` is
+    the normalized projection (op + payload columns, computed absent).
+    Output is bucket-clustered and key-sorted within buckets, ready for
+    ``write_data_files_prepartitioned`` — same file layout, key bounds
+    and per-commit file count as the join path's sorted write."""
+    spark = target.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts, n_salts = sort_layout(nparts, n_buckets, total_rows)
+    x = _cow_exprs(
+        spark.sparkContext.applicationId, key, op_col, order_cols,
+        cur_schema, tuple(sorted(computed.items())), n_buckets, n_parts,
+        n_salts,
+    )
+    t_side = target.select(*x["t_side"])
+    b_side = batch.select(*x["b_side"])
+    src = t_side.unionByName(b_side)
+    src = src.select(F.col("*"), *x["pw_aliased"])
+    src = src.repartition(n_parts, x["pw0"])
+    sel = src.select(F.col("*"), x["first"])
+    winners = sel.where(F.col("_first"))
+    return winners.select(*x["out_cols"])
+
+
+def _cow_exprs(
+    app_id: str,
+    key: str,
+    op_col: str,
+    order_cols: tuple[str, ...],
+    cur_schema: T.StructType,
+    computed_t: tuple[tuple[str, str], ...],
+    n_buckets: int,
+    n_parts: int,
+    n_salts: int,
+) -> dict:
+    ck = (
+        "cow", app_id, key, op_col, order_cols, cur_schema.json(),
+        computed_t, n_buckets, n_parts, n_salts,
+    )
+    hit = _EXPR_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    computed = dict(computed_t)
+    types = {f.name: f.dataType for f in cur_schema.fields}
+    payload = [
+        f.name for f in cur_schema.fields
+        if f.name not in computed and f.name != DELETED_COL
+    ]
+    # target rows re-derive op from the stored tombstone flag so the
+    # shared winner projection reproduces them verbatim; batch rows carry
+    # their op and NULL computed columns (filled by extraction if they win)
+    t_side = [
+        F.when(
+            F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("D")
+        ).otherwise(F.lit("U")).alias(op_col),
+        *[F.col(c) for c in payload],
+        *[F.col(c) for c in computed],
+        F.lit(0).alias("_pref"),
+    ]
+    b_side = [
+        F.col(op_col),
+        *[F.col(c) for c in payload],
+        *[F.lit(None).cast(types[c]).alias(c) for c in computed],
+        F.lit(1).alias("_pref"),
+    ]
+
+    _, part_exprs = layout_exprs(key, n_parts, n_salts)
+    pw = [f"_pw{i}" for i in range(len(part_exprs))]
+    pw_aliased = [e.alias(a) for e, a in zip(part_exprs, pw)]
+    # bucket must exist before the layout exprs reference it
+    t_side.append(bucket_expr(key, n_buckets).alias(BUCKET_COL))
+    b_side.append(bucket_expr(key, n_buckets).alias(BUCKET_COL))
+    w = Window.partitionBy(*[F.col(a) for a in pw]).orderBy(
+        F.col(key).asc(),
+        *[F.col(c).desc() for c in order_cols],
+        F.col("_pref").desc(),
+    )
+    prev_key = F.lag(F.col(key)).over(w)
+    is_first = (F.row_number().over(w) == 1) | (~prev_key.eqNullSafe(F.col(key)))
+
+    is_del = F.col(op_col) == "D"
+    out_cols = []
+    for f in cur_schema.fields:
+        if f.name == DELETED_COL:
+            out_cols.append(is_del.alias(f.name))
+        elif f.name in computed:
+            src_col = computed[f.name]
+            # batch-won live rows extract; target-won rows pass their
+            # stored value through. The UDF is evaluated eagerly for
+            # every winner row, so non-extracting rows feed it NULL
+            # (cheap) instead of gating with a CASE around the UDF.
+            extracted = extract_text_udf(
+                F.when((F.col("_pref") == 1) & ~is_del, F.col(src_col))
+            )
+            out_cols.append(
+                F.when(
+                    ~is_del,
+                    F.when(F.col("_pref") == 1, extracted).otherwise(F.col(f.name)),
+                )
+                .cast(f.dataType)
+                .alias(f.name)
+            )
+        elif f.name in (key, *order_cols):
+            out_cols.append(F.col(f.name))
+        else:
+            out_cols.append(
+                F.when(is_del, F.lit(None).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+    out_cols.append(F.col(BUCKET_COL))
+    built = {
+        "t_side": t_side,
+        "b_side": b_side,
+        "pw_aliased": pw_aliased,
+        "pw0": F.col(pw[0]),
+        "first": is_first.alias("_first"),
+        "out_cols": out_cols,
+    }
+    _EXPR_CACHE[ck] = built
+    return built
+
+
 def fused_mor_winners(
     normalized: DataFrame,
     key: str,

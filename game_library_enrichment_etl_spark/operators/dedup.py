@@ -33,12 +33,44 @@ from __future__ import annotations
 
 import logging
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, token_hash, tokens
 
 logger = logging.getLogger(__name__)
+
+# --------------------------------------------------- within-query scratch
+# r6 (guide §5, measured): these operators' plans reference their hash-
+# heavy intermediates several times — the ngram verify fetches the gram
+# arrays twice, the band/chunk candidate generators SELF-join, and
+# Catalyst performs no common-subtree reuse across join sides (executed
+# plans showed 6 parquet scans / 6 Generates for one ngram query, zero
+# ReusedExchange). Persisting the shared SKINNY intermediate computes the
+# md5 pipeline once per query instead of 2-6x. Lifecycle: each top-level
+# operator call first unpersists the previous call's scratch — a fresh
+# invocation therefore always recomputes from its inputs (Spark's
+# CacheManager matches by logical plan and would otherwise silently serve
+# a PRIOR run's data — exactly the cross-run reuse the bench contract
+# forbids). MEMORY_AND_DISK: bounded by corpus-derived column size,
+# spills rather than OOMs; at 100 TB the same role is played by writing
+# the fingerprint table once and reading it back (guide §8 step 1).
+_SCRATCH: list = []
+
+
+def _drop_scratch() -> None:
+    while _SCRATCH:
+        try:
+            _SCRATCH.pop().unpersist(False)
+        except Exception:
+            pass
+
+
+def _scratch_persist(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SCRATCH.append(df)
+    return df
 
 
 # ----------------------------------------------------------------- exact
@@ -142,13 +174,24 @@ def minhash_lsh_pairs(
     aggregation job over (k, band) rows when enabled.
     """
     rows_per_band = n_hashes // bands
+    _drop_scratch()
     # parallelize the md5-heavy signature stage even when the input is a
     # single small parquet file (one scan partition otherwise)
     nparts = df.sparkSession.sparkContext.defaultParallelism
     src = df.select(F.col(key).alias("k"), F.col(text_col).alias("t")).repartition(nparts, "k")
+    # scratch-persisted: the shingle arrays feed the signature branch AND
+    # both verify fetch branches — one tokenize/shingle pass per query
+    shingles = _scratch_persist(
+        src.select("k", word_shingles(F.col("t"), shingle_n).alias("sh"))
+    )
     # projection barrier: the md5 hash array is an aliased non-cheap column,
     # so the 12 affine minima below reuse it instead of re-hashing 12x
-    hashed = src.select("k", shingle_hashes(F.col("t"), shingle_n).alias("hs"))
+    hashed = shingles.select(
+        "k",
+        F.transform(
+            F.col("sh"), lambda s: F.pmod(token_hash(s), F.lit(2**31))
+        ).alias("hs"),
+    )
     sig = minhash_from_hashes(F.col("hs"), n_hashes)
     band_keys = F.array(
         *[
@@ -168,8 +211,13 @@ def minhash_lsh_pairs(
     # SKINNY band join: only (k, band) rows shuffle; the shingle arrays are
     # fetched by key for surviving candidate pairs only (column pruning
     # keeps the md5 minhash work out of the fetch branches).
-    banded = hashed.select(F.col("k"), sig.alias("sig")).select(
-        "k", F.explode(band_keys).alias("band")
+    # scratch-persisted: banded SELF-joins below (each side would re-run
+    # the full md5 signature pipeline — no common-subtree reuse); (k,
+    # band) is two small columns
+    banded = _scratch_persist(
+        hashed.select(F.col("k"), sig.alias("sig")).select(
+            "k", F.explode(band_keys).alias("band")
+        )
     )
     if band_cap is not None:
         sizes = banded.groupBy("band").agg(F.count(F.lit(1)).alias("_bn"))
@@ -200,7 +248,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
         .dropDuplicates(["key_a", "key_b"])
     )
-    shingles = src.select("k", word_shingles(F.col("t"), shingle_n).alias("sh"))
     pairs = (
         cand.join(shingles.select(F.col("k").alias("key_a"), F.col("sh").alias("sh_a")), "key_a")
         .join(shingles.select(F.col("k").alias("key_b"), F.col("sh").alias("sh_b")), "key_b")
@@ -256,8 +303,12 @@ def simhash_pairs(
     into ``n_chunks`` 8-bit chunks; by pigeonhole any pair within
     ``max_hamming`` <= n_chunks-1 shares at least one exact chunk —
     equi-join on (chunk_idx, chunk_val), then verify true hamming."""
+    _drop_scratch()
     nparts = df.sparkSession.sparkContext.defaultParallelism
-    base = (
+    # scratch-persisted: the chunk candidate generator SELF-joins the
+    # sketch frame — without it each side re-runs the md5 token hashing
+    # and the 32 interpreted bit-vote folds; (k, sh) is two longs
+    base = _scratch_persist(
         df.select(F.col(key).alias("k"), F.col(text_col).alias("t"))
         .repartition(nparts, "k")
         .select("k", token_hashes(F.col("t")).alias("ths"))
@@ -341,10 +392,13 @@ def ngram_jaccard_pairs(
     - union is computed arithmetically (sz_a + sz_b - inter — exact for
       distinct sets) instead of building a second hash set per pair.
     """
+    _drop_scratch()
     nparts = df.sparkSession.sparkContext.defaultParallelism
     src = df.select(F.col(key).alias("k"), F.col(text_col).alias("t")).repartition(nparts, "k")
-    grams = src.select(
-        "k", F.transform(char_ngrams(F.col("t"), n), token_hash).alias("g")
+    # scratch-persisted: referenced by the df-ranking branch AND both
+    # verify fetch branches — one md5 pass instead of four (see _SCRATCH)
+    grams = _scratch_persist(
+        src.select("k", F.transform(char_ngrams(F.col("t"), n), token_hash).alias("g"))
     )
     eg = grams.select("k", F.explode_outer("g").alias("gram")).where(
         F.col("gram").isNotNull()
@@ -363,9 +417,15 @@ def ngram_jaccard_pairs(
             F.transform(slist, lambda x: x.getField("gram")), F.lit(1), plen
         ).alias("pref"),
     )
-    pe = per_doc.select(
-        "k", "sz", F.posexplode_outer("pref").alias("pos", "gram")
-    ).where(F.col("gram").isNotNull())
+    # scratch-persisted: the candidate generator SELF-joins pe, and the
+    # planner computes each side's whole upstream (gram dfreq join +
+    # collect_list aggregation) independently; the cached frame is skinny
+    # (two longs, an int, a 64-bit gram)
+    pe = _scratch_persist(
+        per_doc.select(
+            "k", "sz", F.posexplode_outer("pref").alias("pos", "gram")
+        ).where(F.col("gram").isNotNull())
+    )
     # candidates: share >=1 prefix gram + exact size-ratio bound, then
     # the aggregate positional filter (provably lossless, see docstring);
     # the tiny epsilon keeps float rounding of t/(1+t) from ever
