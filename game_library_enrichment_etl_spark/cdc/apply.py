@@ -30,26 +30,36 @@ Scale notes (100 TB design)
   ``lake.maintenance.compact`` folds buckets back to one file. Under
   ``cow`` the target side of the merge is pruned to the buckets the batch
   touches (manifest bucket ids) — merge cost is O(touched data).
-- COW LWW dedup uses the skinny two-phase strategy (operators/lww.py);
-  hot urls reduce map-side; a ``salted`` strategy exists for pathological
-  keys.
+- COW overwrite-mode MERGE is the union + single-route-exchange LWW fold
+  (cdc/fused.fused_cow_merge, r6): target rows and raw batch rows union,
+  one exchange, partition-local sort, first-of-key filter — equivalence
+  with the full-outer-join formulation argued in that docstring; coalesce
+  mode keeps the join (cdc/apply._merge, SHUFFLE_HASH-pinned so payload
+  bytes are never sorted by the join). Hot keys still pre-reduce through
+  the ``salted`` two-phase strategy (operators/lww.py).
 - Everything is DataFrame-API; the only Python execution is the
   Arrow-vectorized winner/extract pass (cdc/fused.py, functions/extract.py).
 - TWO actions per batch on the fused-MOR streaming hot path, only one of
   which touches payload bytes: (1) a skinny column-pruned per-(segment,
   bucket) stats pass (offsets, late counts, touched buckets, and a sound
   hot-key bound — a key's rows never exceed its bucket's rows), (2) the
-  fused write itself. Winner/delete counts come from the written files
-  (manifest row counts + a threaded pyarrow read of the tombstone
-  column), and WAL-integrity is enforced by the fused pass's
-  partition-wide adjacent-duplicate check (winning and non-winning
-  duplicates alike). A third action — the exact skinny
+  fused write itself — and in the micro-batch regime the two run
+  CONCURRENTLY (r6, ``_apply_fused_overlapped``): when the replay filter,
+  late predicate and a no-hot-key proof are derivable driver-side, the
+  stats job is submitted from a thread and joined before commit, so the
+  batch pays roughly one job latency instead of two. Winner/delete
+  counts come from the written files (manifest row counts + a threaded
+  pyarrow read of the tombstone column), and WAL-integrity is enforced
+  by the fused pass's partition-wide adjacent-duplicate check (winning
+  and non-winning duplicates alike). A third action — the exact skinny
   per-key aggregation — runs only when its outputs are load-bearing:
-  COW/join-path merges (pre-merge integrity + write sizing), batches
-  whose bucket bound admits a hot key (exact max_key_rows routes the
-  salted pre-reduce), and multi-segment batches (per-segment winner
-  attribution). The html-bearing winner rows are computed exactly once
-  inside the write (no persist, no second pass over payloads). A
+  coalesce-mode/join-path merges (pre-merge integrity + write sizing),
+  batches whose bucket bound admits a hot key (exact max_key_rows routes
+  the salted pre-reduce), and multi-segment batches (per-segment winner
+  attribution). On the COW overwrite path it runs concurrently with the
+  merge write and is absorbed before commit (the union merge consumes
+  nothing from it). The html-bearing winner rows are computed exactly
+  once inside the write (no persist, no second pass over payloads). A
   ``DataFrame.observe`` design was rejected: ``Observation.get``
   deadlocks when the apply runs inside a Structured Streaming
   ``foreachBatch`` callback (the py4j callback thread can't re-enter the

@@ -58,6 +58,10 @@ logger = logging.getLogger(__name__)
 # the fingerprint table once and reading it back (guide §8 step 1).
 _SCRATCH: list = []
 
+# deployment toggle (and the A/B seam the r6 numbers were measured with):
+# ICELET_SCRATCH=0 disables the within-query persists
+_SCRATCH_ON = __import__("os").environ.get("ICELET_SCRATCH", "1") != "0"
+
 
 def _drop_scratch() -> None:
     while _SCRATCH:
@@ -68,6 +72,8 @@ def _drop_scratch() -> None:
 
 
 def _scratch_persist(df: DataFrame) -> DataFrame:
+    if not _SCRATCH_ON:
+        return df
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _SCRATCH.append(df)
     return df
