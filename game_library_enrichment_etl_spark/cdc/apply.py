@@ -287,17 +287,39 @@ def _apply_batch_inner(
     # count would at this size. Gated to the micro-batch regime (bound
     # <= 4 sort shards): a loose multi-million-row bound would both
     # overshoot the layout and lose the no-hot-key proof.
-    if (
+    overlap_bound_ok = (
         overlap_ok
-        and use_mor_candidate
-        and mor_path == "fused"
         and len(applied) <= 10_000
         and src_rows_bound is not None
         and 0 < src_rows_bound <= min(hot_key_threshold, 4 * MIN_ROWS_PER_SHARD)
-    ):
+    )
+    if overlap_bound_ok and use_mor_candidate and mor_path == "fused":
         return _apply_fused_overlapped(
             table, batch, sel, cur, evo, key, order_cols, applied, wm_us,
             lateness_s, late_pred, snap, src_rows_bound, _mark, t0, phase_t,
+        )
+    # COW variant of the same overlap: the union merge (fused_cow_merge)
+    # consumes only the TARGET from pre-write state, and when the whole
+    # table fits the micro-batch regime (manifest row count — driver-side
+    # — within the same 4-sort-shard bound) bucket pruning saves nothing:
+    # read every bucket, start the merge write immediately, and run the
+    # stats AND exact jobs concurrently with it, absorbing both before
+    # commit. Replaced buckets are then every bucket that held or gained
+    # a file (a superset rewrite with byte-identical logical rows —
+    # pruning is a write-amplification optimization, not semantics). Big
+    # tables keep the pruned sequential path.
+    table_rows = sum(f.rows for f in snap.files)
+    if (
+        overlap_bound_ok
+        and table.merge_strategy == "cow"
+        and mode == "overwrite"
+        and DELETED_COL in cur.names()
+        and table_rows <= 4 * MIN_ROWS_PER_SHARD
+    ):
+        return _apply_cow_overlapped(
+            table, batch, sel, cur, evo, key, order_cols, applied, wm_us,
+            lateness_s, late_pred, snap, src_rows_bound, table_rows, _mark,
+            t0, phase_t,
         )
 
     exact_future = None
@@ -421,6 +443,7 @@ def _apply_batch_inner(
         need_exact
         and not use_mor
         and mode != "coalesce"
+        and DELETED_COL in cur.names()  # else the join path sizes its write
         and max_bucket_live <= hot_key_threshold
     )
     if need_exact and not defer_exact:
@@ -538,13 +561,22 @@ def _apply_batch_inner(
         files = table.write_data_files(
             out, snap.version + 1, cur.version, post_shuffle=post_shuffle
         )
-    elif mode == "coalesce":
-        # ---- copy-on-write MERGE (coalesce mode) as a single full-outer
-        # join against the bucket-pruned target (tombstones included: a
-        # stale replayed event must lose to a newer D; target projected to
-        # the evolved schema). The per-cell fold has no union/window
-        # rendition, so this mode keeps the join formulation.
-        winners = _fold_partial_updates(normalized, key, order_cols)
+    elif mode == "coalesce" or DELETED_COL not in cur.names():
+        # ---- copy-on-write MERGE (coalesce mode, and overwrite on tables
+        # WITHOUT a tombstone column) as a single full-outer join against
+        # the bucket-pruned target (tombstones included: a stale replayed
+        # event must lose to a newer D; target projected to the evolved
+        # schema). The per-cell fold has no union/window rendition, and
+        # the union path's target-side op reconstruction needs the stored
+        # tombstone flag — both cases keep the join formulation.
+        if mode == "coalesce":
+            winners = _fold_partial_updates(normalized, key, order_cols)
+        else:
+            winners = lww_dedup(
+                normalized, key, order_cols,
+                strategy="salted" if hot else "agg",
+                unique_versions=True,
+            )
         for cname, src_col in computed.items():
             winners = winners.withColumn(
                 cname,
@@ -589,6 +621,10 @@ def _apply_batch_inner(
             computed, snap.n_buckets,
             total_rows=touched_rows + int(events_in - late_dropped),
         )
+        # AQE stays ON here: the 1M-event A/B (BENCH/holdcheck_r6c.jsonl)
+        # read parity-with-downside for AQE-off at scale, so only the
+        # overlapped micro-batch path (where it measured −6% wall) turns
+        # it off.
         files = table.write_data_files_prepartitioned(
             out, snap.version + 1, cur.version
         )
@@ -652,6 +688,122 @@ def _apply_batch_inner(
     metrics["max_key_rows"] = max_key_rows
     metrics["hot_key_routed"] = hot
     metrics["winner_stats_path"] = "exact" if need_exact else "manifest"
+    metrics["phases_s"] = phase_t
+    _append_lineage(table.root, seg_stats, metrics, new_snap.version)
+    return ApplyResult(False, new_snap.version, metrics, seg_stats)
+
+
+def _apply_cow_overlapped(
+    table: IceletTable,
+    batch: DataFrame,
+    sel: list,
+    cur,
+    evo,
+    key: str,
+    order_cols: tuple[str, ...],
+    applied: set,
+    wm_us,
+    lateness_s: int | None,
+    late_pred,
+    snap,
+    src_rows_bound: int,
+    table_rows: int,
+    _mark,
+    t0: float,
+    phase_t: dict[str, float],
+) -> ApplyResult:
+    """COW-overwrite apply with the stats and exact jobs overlapped
+    against the union-merge write (see the gate comment in
+    ``_apply_batch_inner``). Surviving rows and final table content are
+    identical to the sequential path; the only physical difference is
+    that every existing bucket is rewritten (gated to tables within the
+    micro-batch bound, where bucket pruning saves nothing). Both skinny
+    jobs are absorbed — and the WAL-integrity raise lands — strictly
+    before the commit."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pre = batch
+    if applied:
+        pre = pre.where(~F.col("batch_id").isin(*[int(x) for x in applied]))
+    drop_late = lateness_s is not None and wm_us is not None
+    live = pre.where(~late_pred) if drop_late else pre
+    ts_col, lsn_col = order_cols[0], order_cols[1]
+    norm_bid = live.select(*sel, F.col("batch_id"))
+    normalized = norm_bid.drop("batch_id")
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    stats_future = pool.submit(
+        lambda: pre.groupBy(
+            "batch_id", bucket_expr(key, snap.n_buckets).alias("_b")
+        )
+        .agg(*_seg_stats_aggs(lsn_col, ts_col, late_pred))
+        .collect()
+    )
+    exact_future = pool.submit(_exact_winner_stats, norm_bid, key, order_cols)
+    pool.shutdown(wait=False)
+
+    from .fused import fused_cow_merge
+
+    computed = _computed_cols(cur.names())
+    target = table.read(include_deleted=True, as_schema=cur)
+    # layout input clamped to the gate's micro-batch bound: the footer row
+    # bound is loose (whole source files vs the batch's slice), and an
+    # inflated row estimate tips sort_layout into a second salt shard —
+    # doubling files per commit and read amplification for nothing. The
+    # clamp is spill-safe: the gate caps true rows at table + bound <= 2x
+    # this value, well inside one shard's sorter budget.
+    out = fused_cow_merge(
+        target, normalized, key, OP_COL, order_cols, cur.to_spark(),
+        computed, snap.n_buckets,
+        total_rows=min(table_rows + src_rows_bound, 4 * MIN_ROWS_PER_SHARD),
+    )
+    # AQE off around the union write, same rationale as the fused MOR
+    # write: join-free, explicitly-partitioned plan — AQE contributes
+    # only stage materialization latency here (A/B'd r6)
+    spark = table.spark
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        files = table.write_data_files_prepartitioned(
+            out, snap.version + 1, cur.version
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    _mark("t_merge_write")
+    seg_stats = _fold_seg_stats(stats_future.result())
+    _mark("t_stats")
+    new_ids = [d["batch_id"] for d in seg_stats]
+    if not new_ids:  # fully replayed: the write rewrote identical rows;
+        # nothing is committed, the uuid directory stays orphaned
+        exact_future.result()  # drain (its input is empty too)
+        return ApplyResult(True, snap.version, {"reason": "all batch_ids already applied"})
+    events_in = sum(d["events_in"] for d in seg_stats)
+    late_dropped = sum(d["late_dropped"] or 0 for d in seg_stats)
+    max_ts = max((d["ts_max"] for d in seg_stats if d["ts_max"] is not None), default=None)
+    touched = sorted({b for d in seg_stats for b in (d["buckets"] or [])})
+
+    seg_rows = exact_future.result()
+    n_winners, n_deletes, max_key_rows, _ = _absorb_exact(
+        seg_rows, seg_stats, order_cols, hot_key_threshold=2**63 - 1
+    )
+    _mark("t_winner_stats")
+
+    replaced = {f.bucket for f in snap.files} | {f.bucket for f in files}
+    new_snap = table.commit(
+        files, replaced, new_ids,
+        cur if evo.changed else None,
+        _wm_update(wm_us, max_ts, lateness_s),
+        expected_version=snap.version,
+    )
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    metrics = _metrics(events_in, late_dropped, n_winners, n_deletes, len(touched), new_snap)
+    metrics["wall_ms"] = wall_ms
+    metrics["schema_changed"] = evo.changed
+    metrics["merge_strategy"] = "cow"
+    metrics["max_key_rows"] = max_key_rows
+    metrics["hot_key_routed"] = False
+    metrics["winner_stats_path"] = "exact"
+    metrics["stats_overlapped"] = True
     metrics["phases_s"] = phase_t
     _append_lineage(table.root, seg_stats, metrics, new_snap.version)
     return ApplyResult(False, new_snap.version, metrics, seg_stats)
