@@ -394,6 +394,7 @@ def _apply_batch_inner(
         and mode == "overwrite"
         and DELETED_COL in cur.names()
     )
+    mor_ndel: int | None = None  # tombstone count fused into the harvest
     max_bucket_live = max((d["max_bucket_live"] for d in seg_stats), default=0)
     # The exact per-key pass (action 2) is needed when any of its outputs
     # is load-bearing:
@@ -509,9 +510,18 @@ def _apply_batch_inner(
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            files = table.write_data_files_prepartitioned(
-                out, snap.version + 1, cur.version
-            )
+            # fast path (no exact pass): the tombstone count rides along
+            # in the harvest's threaded file pass — one open per file
+            # instead of two (harvest + _count_tombstones)
+            if need_exact:
+                files = table.write_data_files_prepartitioned(
+                    out, snap.version + 1, cur.version
+                )
+                mor_ndel = None
+            else:
+                files, mor_ndel = table.write_data_files_prepartitioned(
+                    out, snap.version + 1, cur.version, sum_col=DELETED_COL
+                )
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     elif use_mor:
@@ -650,7 +660,10 @@ def _apply_batch_inner(
             # files (column-pruned; no Spark job). Single segment by
             # construction, so per-segment attribution is the totals.
             n_winners = written
-            n_deletes = _count_tombstones(table.root, files)
+            n_deletes = (
+                mor_ndel if mor_ndel is not None
+                else _count_tombstones(table.root, files)
+            )
             d = seg_stats[0]
             d["winners"] = n_winners
             d["delete_winners"] = n_deletes
@@ -940,12 +953,15 @@ def _apply_fused_overlapped(
         snap.n_buckets, batch_rows=src_rows_bound,
     )
     # AQE off around the fused write only — same rationale and guard as
-    # the sequential path (join-free, explicitly-partitioned plan).
+    # the sequential path (join-free, explicitly-partitioned plan). The
+    # tombstone count rides along in the harvest's threaded file pass
+    # (used on the single-segment path; the multi-segment path takes its
+    # counts from the exact pass).
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        files = table.write_data_files_prepartitioned(
-            out, snap.version + 1, cur.version
+        files, mor_ndel = table.write_data_files_prepartitioned(
+            out, snap.version + 1, cur.version, sum_col=DELETED_COL
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
@@ -986,7 +1002,7 @@ def _apply_fused_overlapped(
         stats_path = "exact"
     else:
         n_winners = written
-        n_deletes = _count_tombstones(table.root, files)
+        n_deletes = mor_ndel
         max_key_rows = max_bucket_live
         d = seg_stats[0]
         d["winners"] = n_winners

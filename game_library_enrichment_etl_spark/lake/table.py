@@ -609,8 +609,12 @@ class IceletTable:
         return self._harvest_manifest_entries(out, schema_version, version)
 
     def write_data_files_prepartitioned(
-        self, df: DataFrame, version: int, schema_version: int
-    ) -> list[DataFileMeta]:
+        self,
+        df: DataFrame,
+        version: int,
+        schema_version: int,
+        sum_col: str | None = None,
+    ) -> "list[DataFileMeta] | tuple[list[DataFileMeta], int]":
         """Write ``df`` that is ALREADY partitioned so that no bucket spans
         two partitions (the fused MOR path repartitions on
         (_bucket[, salt(key)]) upstream, fusing the exchange with the LWW
@@ -619,7 +623,12 @@ class IceletTable:
         bucket-clustered) rows by partition column — at most
         salts-per-bucket files per bucket per commit, and write parallelism
         equals the upstream partition count instead of being capped at
-        n_buckets."""
+        n_buckets.
+
+        ``sum_col``: when given, each file's harvest ALSO sums that boolean
+        column (the fused MOR path's tombstone count) in the same threaded
+        file open as the footer read — one pass over the commit's files
+        instead of two, and the return becomes ``(files, total)``."""
         rel_dir = os.path.join("data", f"v{version}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel_dir)
         with _WRITER_CONF_LOCK:
@@ -629,11 +638,13 @@ class IceletTable:
                 df.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(out)
             finally:
                 self.spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", prev)
-        return self._harvest_manifest_entries(out, schema_version, version)
+        return self._harvest_manifest_entries(
+            out, schema_version, version, sum_col=sum_col
+        )
 
     def _harvest_manifest_entries(
-        self, out: str, schema_version: int, version: int
-    ) -> list[DataFileMeta]:
+        self, out: str, schema_version: int, version: int, sum_col: str | None = None
+    ) -> "list[DataFileMeta] | tuple[list[DataFileMeta], int]":
         key = self.key_col
         entries = [
             (int(e.split("=")[1]), os.path.join(out, e))
@@ -651,7 +662,7 @@ class IceletTable:
 
         def _one(item):
             bucket, fpath = item
-            rows, kmin, kmax = _footer_stats(fpath, key)
+            rows, kmin, kmax, extra = _footer_stats(fpath, key, sum_col)
             return DataFileMeta(
                 path=os.path.relpath(fpath, self.root),
                 bucket=bucket,
@@ -660,12 +671,17 @@ class IceletTable:
                 max_key=kmax,
                 schema_version=schema_version,
                 sequence=version,
-            )
+            ), extra
 
         if len(fpaths) <= 2:
-            return [_one(it) for it in fpaths]
-        with ThreadPoolExecutor(max_workers=min(32, len(fpaths))) as pool:
-            return list(pool.map(_one, fpaths))
+            harvested = [_one(it) for it in fpaths]
+        else:
+            with ThreadPoolExecutor(max_workers=min(32, len(fpaths))) as pool:
+                harvested = list(pool.map(_one, fpaths))
+        files = [f for f, _ in harvested]
+        if sum_col is None:
+            return files
+        return files, sum(x for _, x in harvested)
 
     def commit(
         self,
@@ -720,9 +736,20 @@ class IceletTable:
         return evolve(self.snapshot().schema, incoming, rename_hints)
 
 
-def _footer_stats(path: str, key: str) -> tuple[int, str | None, str | None]:
-    """rows + min/max of the key column from parquet footer metadata only."""
-    md = pq.ParquetFile(path).metadata
+def _footer_stats(
+    path: str, key: str, sum_col: str | None = None
+) -> tuple[int, str | None, str | None, int]:
+    """rows + min/max of the key column from parquet footer metadata only;
+    when ``sum_col`` is given, additionally the sum of that boolean column
+    (a column-pruned read sharing the same file handle)."""
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    extra = 0
+    if sum_col is not None:
+        import pyarrow.compute as pc
+
+        t = pf.read(columns=[sum_col])
+        extra = int(pc.sum(t[sum_col]).as_py() or 0)
     kmin = kmax = None
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -740,4 +767,4 @@ def _footer_stats(path: str, key: str) -> tuple[int, str | None, str | None]:
                 mx = mx.decode("utf-8", "replace")
             kmin = mn if kmin is None else min(kmin, mn)
             kmax = mx if kmax is None else max(kmax, mx)
-    return md.num_rows, kmin, kmax
+    return md.num_rows, kmin, kmax, extra
