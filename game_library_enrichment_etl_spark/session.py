@@ -195,6 +195,22 @@ def _warm_session(spark: SparkSession) -> None:
         _noop(_ann.srp_lsh_topk(emb, q, k=5, n_bits=8, dim=64, multiprobe_flips=1))
         _noop(_ann.srp_lsh_topk(emb, q, k=5, n_bits=8, dim=64,
                                 multiprobe_flips=1, vectorized=True))
+        from .functions import text as _tx
+        from .functions.text_np import lang_id_np as _lang_np
+        from .functions.text_np import quality_token_stats_np as _q_np
+
+        _noop(docs.select(
+            "doc_id",
+            _tx.lang_id(F.col("text")).alias("lg"),
+            _tx.token_count(F.col("text")).cast("bigint").alias("nt"),
+            _tx.bpe_ish_token_count(F.col("text")).alias("nb"),
+            F.round(_tx.punct_ratio(F.col("text")), 6).alias("pr"),
+            _tx.quality_score(F.col("text")).alias("qs"),
+        ))
+        _noop(docs.select(
+            _lang_np()(F.col("text")).alias("lg"),
+            _q_np()(F.col("text")).alias("s"),
+        ))
         spark.conf.set("spark.graft.sessionWarmed", "1")
     except Exception:
         pass  # warm-up is best-effort; never fail session creation
