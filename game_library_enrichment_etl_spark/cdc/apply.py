@@ -181,6 +181,12 @@ def apply_batch(
             default_batch_id, hot_key_threshold, mor_path, t0, phase_t, _mark,
             overlap_ok=False,
         )
+    if os.environ.get("ICELET_BATCH_PERSIST", "1") == "0":
+        return _apply_batch_inner(
+            table, batch, mode, dedup_strategy, rename_hints, lateness_s,
+            default_batch_id, hot_key_threshold, mor_path, t0, phase_t, _mark,
+            overlap_ok=True, src_rows_bound=src_rows_bound,
+        )
     from pyspark import StorageLevel
 
     batch = batch.persist(StorageLevel.MEMORY_AND_DISK)

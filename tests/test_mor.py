@@ -205,3 +205,54 @@ def test_read_resolve_window_equals_skinny(spark, tmp_path):
     plan = t.read(resolve="window")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_single_reader_resolve_seq_from_path(spark, tmp_path):
+    """r6: the read-time resolve plans ONE scan branch per schema version
+    (not per commit sequence), deriving _seq from the commit directory in
+    the file path. The derived _seq must match the manifest sequence for
+    every file, the single-scan read must equal the per-sequence fallback
+    row for row, and a look-alike root component must not mis-parse."""
+    from game_library_enrichment_etl_spark.lake import table as lake_table
+
+    ev = gen_change_events(1200, 150, seed=29, delete_frac=0.1)
+    # root deliberately contains a look-alike data/v{n}-{hex8} pair so the
+    # executor-side regex must take the LAST match, not the first
+    root = tmp_path / "data" / "v1-deadbeef" / "pages"
+    paths = write_change_segments(str(tmp_path / "wal"), ev.drop(columns=["title"]), 4)
+    t = create_pages_table(spark, str(root), n_buckets=4, merge_strategy="mor")
+    for p in paths:
+        apply_batch(t, spark.read.parquet(p))
+
+    snap = t.snapshot()
+    assert len({f.sequence for f in snap.files}) == 4
+    # driver-side invariant: every written file's path encodes its sequence
+    for f in snap.files:
+        assert lake_table._path_sequence(f.path) == f.sequence
+    # executor-side: the raw resolve=none frame's (path-derived) _seq set
+    # must be exactly the manifest's sequence set, with matching row counts
+    raw = t.read(include_deleted=True, resolve="none")
+    got = {
+        int(r["_seq"]): int(r["n"])
+        for r in raw.groupBy("_seq").count().withColumnRenamed("count", "n").collect()
+    }
+    want: dict[int, int] = {}
+    for f in snap.files:
+        want[f.sequence] = want.get(f.sequence, 0) + f.rows
+    assert got == want
+    # exactly one scan branch is planned for the single-schema table
+    plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+    fast = t.read().toPandas().sort_values("url").reset_index(drop=True)
+    # force the per-sequence fallback (unparseable paths) — same rows
+    import unittest.mock as mock
+
+    with mock.patch.object(lake_table, "_path_sequence", lambda p: None):
+        slow_df = t.read()
+        assert (
+            slow_df._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
+            == 4
+        )
+        slow = slow_df.toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
