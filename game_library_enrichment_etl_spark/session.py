@@ -171,10 +171,46 @@ def _warm_session(spark: SparkSession) -> None:
                 ),
             ).alias("text"),
         )
+        # C2 warm-up corpus (r6): compiling the codegen classes (the 64-row
+        # pass above) is necessary but not sufficient — HotSpot only
+        # promotes the generated loops to C2 after ~10^4 iterations, so
+        # first real queries still ran 1.5-3x their steady state (measured:
+        # same-JVM ngram sample 2.9 -> 2.6 -> 1.4s across three runs).
+        # A second pass over a LARGER synthetic corpus drives the same
+        # generated methods past the compile threshold at startup. The
+        # vocabulary is wide (4096 synthetic words) so texts are distinct
+        # and candidate pairs stay near-linear — the point is row count
+        # through the hot loops, not pair count. Row count is env-tunable;
+        # 0 disables the second pass.
+        warm_rows = int(os.environ.get("SPARK_GRAFT_WARM_ROWS", "6000"))
+        if warm_rows > 0:
+            docs_big = spark.range(0, warm_rows, 1, 8).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(24)),
+                        lambda i: F.concat(
+                            F.lit("w"),
+                            F.pmod(F.col("id") * 131 + i * 977, F.lit(4096)),
+                        ),
+                    ),
+                ).alias("text"),
+            )
+        else:
+            docs_big = docs
         _noop(_dd.ngram_jaccard_pairs(docs, n=5, threshold=0.7))
         _noop(_dd.minhash_lsh_pairs(docs, n_hashes=12, bands=4, shingle_n=3,
                                     jaccard_threshold=0.5))
         _noop(_dd.simhash_pairs(docs, max_hamming=3, n_chunks=4))
+        if warm_rows > 0:
+            _noop(_dd.ngram_jaccard_pairs(docs_big, n=5, threshold=0.7))
+            _noop(_dd.minhash_lsh_pairs(docs_big, n_hashes=12, bands=4,
+                                        shingle_n=3, jaccard_threshold=0.5))
+            _noop(_dd.simhash_pairs(docs_big, max_hamming=3, n_chunks=4))
+            _noop(docs_big.select(
+                F.md5(F.col("text")).alias("fingerprint"), F.col("doc_id")
+            ).groupBy("fingerprint").agg(F.count(F.lit(1)), F.min("doc_id")))
         _dd._drop_scratch()
         names = docs.select(
             F.col("doc_id").alias("k"), F.substring("text", 1, 20).alias("nm")
@@ -183,7 +219,8 @@ def _warm_session(spark: SparkSession) -> None:
             names.where(F.col("k") < 8), names.where(F.col("k") >= 8),
             "k", "nm", "k", "nm", threshold=50.0, fallback_full_scan=False,
         ))
-        emb = spark.range(0, 48, 1, 4).select(
+        n_emb = 48 if warm_rows <= 0 else max(48, warm_rows // 2)
+        emb = spark.range(0, n_emb, 1, 4).select(
             F.col("id").alias("vec_id"),
             F.transform(
                 F.sequence(F.lit(1), F.lit(64)),
@@ -199,7 +236,8 @@ def _warm_session(spark: SparkSession) -> None:
         from .functions.text_np import lang_id_np as _lang_np
         from .functions.text_np import quality_token_stats_np as _q_np
 
-        _noop(docs.select(
+        tdocs = docs_big if warm_rows > 0 else docs
+        _noop(tdocs.select(
             "doc_id",
             _tx.lang_id(F.col("text")).alias("lg"),
             _tx.token_count(F.col("text")).cast("bigint").alias("nt"),
@@ -207,6 +245,11 @@ def _warm_session(spark: SparkSession) -> None:
             F.round(_tx.punct_ratio(F.col("text")), 6).alias("pr"),
             _tx.quality_score(F.col("text")).alias("qs"),
         ))
+        # the numpy pandas-UDF pair stays on the SMALL corpus: its cost is
+        # worker spawn + first-call imports, not JVM JIT, and the big-pass
+        # A/B measured the wide variant consistently SLOWER on the real
+        # lang_id_docs_np query (0.5 -> 1.0-2.0s; leftover worker-heap
+        # growth from the 6k-row arrow batches, most plausibly)
         _noop(docs.select(
             _lang_np()(F.col("text")).alias("lg"),
             _q_np()(F.col("text")).alias("s"),
