@@ -219,18 +219,25 @@ def _warm_session(spark: SparkSession) -> None:
             names.where(F.col("k") < 8), names.where(F.col("k") >= 8),
             "k", "nm", "k", "nm", threshold=50.0, fallback_full_scan=False,
         ))
-        n_emb = 48 if warm_rows <= 0 else max(48, warm_rows // 2)
-        emb = spark.range(0, n_emb, 1, 4).select(
-            F.col("id").alias("vec_id"),
-            F.transform(
-                F.sequence(F.lit(1), F.lit(64)),
-                lambda i: (F.pmod(F.col("id") * 11 + i * 5, F.lit(17)) - 8.0).cast("float"),
-            ).alias("embedding"),
-        )
+        def _emb_frame(n: int):
+            return spark.range(0, n, 1, 4).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: (F.pmod(F.col("id") * 11 + i * 5, F.lit(17)) - 8.0).cast("float"),
+                ).alias("embedding"),
+            )
+
+        # Catalyst ANN paths take the C2-sized corpus; the VECTORIZED srp
+        # variant (pandas UDF) stays small for the same reason as the
+        # numpy text pair below — worker-side cost, not JVM JIT
+        emb = _emb_frame(48 if warm_rows <= 0 else max(48, warm_rows // 2))
         q = emb.where(F.col("vec_id") < 3)
         _noop(_ann.cosine_topk(emb, q, k=5))
         _noop(_ann.srp_lsh_topk(emb, q, k=5, n_bits=8, dim=64, multiprobe_flips=1))
-        _noop(_ann.srp_lsh_topk(emb, q, k=5, n_bits=8, dim=64,
+        emb_small = emb if warm_rows <= 0 else _emb_frame(48)
+        _noop(_ann.srp_lsh_topk(emb_small, emb_small.where(F.col("vec_id") < 3),
+                                k=5, n_bits=8, dim=64,
                                 multiprobe_flips=1, vectorized=True))
         from .functions import text as _tx
         from .functions.text_np import lang_id_np as _lang_np
