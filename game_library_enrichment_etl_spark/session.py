@@ -184,6 +184,16 @@ def _warm_session(spark: SparkSession) -> None:
         # 0 disables the second pass.
         warm_rows = int(os.environ.get("SPARK_GRAFT_WARM_ROWS", "6000"))
         if warm_rows > 0:
+            # GROUPED corpus: docs come in ~12-doc groups sharing a
+            # 20-token core with 4 unique tokens each, so the candidate
+            # generators emit a BOUNDED quadratic-within-group pair set
+            # (~groups * 66 pairs) — enough rows through the
+            # pair-aggregation and array_intersect verify loops to promote
+            # THEM to C2 too (a purely distinct corpus left them cold: the
+            # real ngram query's first run still carried a ~4s ramp over
+            # its in-JVM steady state). Group count scales with warm_rows
+            # so the pair count stays linear in the knob.
+            grp = F.pmod(F.col("id"), F.lit(max(warm_rows // 12, 1)))
             docs_big = spark.range(0, warm_rows, 1, 8).select(
                 F.col("id").alias("doc_id"),
                 F.concat_ws(
@@ -192,7 +202,11 @@ def _warm_session(spark: SparkSession) -> None:
                         F.sequence(F.lit(1), F.lit(24)),
                         lambda i: F.concat(
                             F.lit("w"),
-                            F.pmod(F.col("id") * 131 + i * 977, F.lit(4096)),
+                            F.when(
+                                i <= 20, F.pmod(grp * 131 + i * 977, F.lit(4096))
+                            ).otherwise(
+                                F.pmod(F.col("id") * 7 + i * 13, F.lit(4096))
+                            ),
                         ),
                     ),
                 ).alias("text"),
